@@ -1,0 +1,165 @@
+"""Reverse-diffusion sampling as one jitted `lax.scan`.
+
+Replaces both reference sampler loops with a single engine:
+
+- stack A `GaussianDiffusion.p_sample_loop` (diffuser/models/diffusion.py:
+  187-228): Python loop over <=1000 steps, per-step `.item()` progress syncs,
+  conditioning_fn re-applied after every step, `starting_motion` /
+  `max_timesteps` / `return_chain` options;
+- stack B `DiffusionV4.sample` (diffuser/models/diffusion_v4.py:82-149):
+  loop ends at t == 1 (never runs the t=0 step — a reference quirk kept
+  behind `mode="v4"`), classifier-free guidance lerp.
+
+TPU-first design: the whole reverse chain is ONE compiled program — a
+`lax.scan` whose carry is (x, rng); the denoiser forward, the schedule
+gathers, the conditioning select, and the noise injection all fuse into a
+single device loop with zero host round-trips (the reference syncs to host
+every step for its progress bar).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .conditioning import Conditioner
+from .process import ddpm_step, posterior_step, predict_noise_from_start, predict_start_from_noise
+from .schedules import Schedule
+
+# Denoiser signature: (x, t, y) -> prediction (epsilon or x0 depending on
+# the process configuration). `y` is an int32 class-label array; the
+# unconditional branch passes `uncond_y` (by convention num_classes).
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray | None], jnp.ndarray]
+
+
+class SampleResult(NamedTuple):
+    trajectories: jnp.ndarray          # (B, H, D)
+    chain: jnp.ndarray | None          # (steps, B, H, D) if return_chain
+
+
+def _model_prediction(
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    y: jnp.ndarray | None,
+    cfg_scale: float | None,
+    uncond_y: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """One (optionally CFG-guided) denoiser evaluation.
+
+    CFG is the reference's lerp (diffusion_v4.py:104-115):
+    pred = uncond + cfg_scale * (cond - uncond).
+    """
+    cond = model_fn(x, t, y)
+    if cfg_scale is None or uncond_y is None:
+        return cond
+    uncond = model_fn(x, t, uncond_y)
+    return uncond + cfg_scale * (cond - uncond)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model_fn", "shape", "mode", "predict_epsilon", "conditioning_fn",
+        "t_start", "return_chain", "cfg_scale", "clip_denoised",
+    ),
+)
+def sample_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    shape: tuple[int, ...],
+    rng: jax.Array,
+    *,
+    mode: str = "posterior",
+    predict_epsilon: bool = True,
+    conditioning_fn: Conditioner | None = None,
+    starting_motion: jnp.ndarray | None = None,
+    t_start: int | None = None,
+    return_chain: bool = False,
+    cfg_scale: float | None = None,
+    y: jnp.ndarray | None = None,
+    uncond_y: jnp.ndarray | None = None,
+    clip_denoised: bool = False,
+) -> SampleResult:
+    """Run the full reverse chain.
+
+    mode="posterior": stack-A update x_{t-1} ~ q(x_{t-1} | x_t, x0_hat),
+      noise zeroed at t == 0, loop t = t_start-1 .. 0.
+    mode="v4": stack-B update (diffusion_v4.py:136-146), noise zeroed at
+      t == 1, loop t = T-1 .. 1.
+
+    `t_start` truncates the chain (reference `max_timesteps`,
+    diffusion.py:195,210): with `starting_motion` this is the
+    motion-to-motion translation behavior (shallow noising, few steps).
+    `shape` may use any horizon divisible by the model's downsample factor —
+    the 0.75x / 3x projection behaviors are just different `shape` values.
+    """
+    T = sched.num_timesteps
+    if t_start is None:
+        t_start = T
+    t_end = 1 if mode == "v4" else 0
+
+    rng, init_rng = jax.random.split(rng)
+    if starting_motion is not None:
+        x = jnp.broadcast_to(starting_motion, shape).astype(jnp.float32)
+    else:
+        x = jax.random.normal(init_rng, shape, jnp.float32)
+    if conditioning_fn is not None:
+        x = conditioning_fn(x)
+
+    timesteps = jnp.arange(t_start - 1, t_end - 1, -1)
+
+    def step(carry, t_scalar):
+        x, rng = carry
+        rng, noise_rng = jax.random.split(rng)
+        t = jnp.full((shape[0],), t_scalar, jnp.int32)
+        pred = _model_prediction(model_fn, x, t, y, cfg_scale, uncond_y)
+        noise = jax.random.normal(noise_rng, shape, jnp.float32)
+        if mode == "v4":
+            eps_hat = (
+                predict_noise_from_start(sched, x, t, pred)
+                if not predict_epsilon
+                else pred
+            )
+            # Reference zeroes noise on the final (t==1) step
+            # (diffusion_v4.py:141-144).
+            noise = jnp.where(t_scalar > t_end, 1.0, 0.0) * noise
+            x = ddpm_step(sched, x, t, eps_hat, noise)
+        else:
+            x0_hat = (
+                predict_start_from_noise(sched, x, t, pred)
+                if predict_epsilon
+                else pred
+            )
+            if clip_denoised:  # diffusion.py:176-177
+                x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
+            x = posterior_step(sched, x, t, x0_hat, noise)
+        if conditioning_fn is not None:
+            x = conditioning_fn(x)
+        return (x, rng), (x if return_chain else None)
+
+    (x, _), chain = jax.lax.scan(step, (x, rng), timesteps)
+    return SampleResult(trajectories=x, chain=chain)
+
+
+def make_sampler(
+    sched: Schedule,
+    model_apply: Callable,
+    params,
+    **kwargs,
+):
+    """Bind params into a ModelFn and return a closure over sample_loop.
+
+    `model_apply(params, x, t, y)` is the flax apply; the returned callable
+    takes (shape, rng, **overrides).
+    """
+    def model_fn(x, t, y):
+        return model_apply(params, x, t, y)
+
+    def sampler(shape, rng, **overrides):
+        merged = {**kwargs, **overrides}
+        return sample_loop(sched, model_fn, shape, rng, **merged)
+
+    return sampler

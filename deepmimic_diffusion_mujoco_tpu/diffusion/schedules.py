@@ -15,8 +15,9 @@ are gathered per-timestep (`extract`, helpers.py:139-142).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, fields
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,6 +101,15 @@ class Schedule:
             posterior_mean_coef1=a(betas * np.sqrt(acp_prev) / (1.0 - acp)),
             posterior_mean_coef2=a((1.0 - acp_prev) * np.sqrt(alphas) / (1.0 - acp)),
         )
+
+
+# Registered as a pytree so a Schedule can flow through jit / scan / vmap as
+# an ordinary argument (all fields are leaves).
+jax.tree_util.register_pytree_node(
+    Schedule,
+    lambda s: (tuple(getattr(s, f.name) for f in fields(Schedule)), None),
+    lambda _, leaves: Schedule(*leaves),
+)
 
 
 def make_schedule(

@@ -167,8 +167,9 @@ def test_loss_weights_parity():
         action_weight=5.0, loss_discount=0.99,
     )
     ours = process.diffuser_loss_weights(16, 35, action_weight=5.0, discount=0.99)
+    # we derive discounts in float64, the reference in float32 -> ~2e-6 drift
     np.testing.assert_allclose(
-        np.asarray(ours), ref.loss_fn.weights.numpy(), atol=1e-6
+        np.asarray(ours), ref.loss_fn.weights.numpy(), atol=1e-5
     )
 
 
