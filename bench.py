@@ -1,0 +1,95 @@
+"""Headline benchmark: training throughput on the reference's production
+workload — TemporalUnet dim 128, batch 32, grad-accum 2, cartwheel clip.
+
+The reference's only recoverable throughput number is "80s to run 1 epoch"
+(500-1000 steps) on the author's GPU VM => ~6-12 optimizer steps/s
+(archive/0_temporal_unet_diffusion_v2.ipynb cells 15-16; BASELINE.md).
+`vs_baseline` divides our steps/s by 12 (the generous end of that range).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_STEPS_PER_S = 12.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deepmimic_diffusion_mujoco_tpu.data.datasets import MotionDataset
+    from deepmimic_diffusion_mujoco_tpu.diffusion import process, schedules
+    from deepmimic_diffusion_mujoco_tpu.models.temporal_unet import TemporalUnet
+    from deepmimic_diffusion_mujoco_tpu.train.loop import make_train_step
+    from deepmimic_diffusion_mujoco_tpu.train.state import TrainState, make_optimizer
+    import optax
+
+    on_tpu = jax.default_backend() == "tpu"
+    # reference notebook config: dim 128, horizon = cartwheel truncated to
+    # multiple of 8, bs 32, grad-accum 2, Adam 2e-5, cosine schedule T=1000
+    ds = MotionDataset.from_path(
+        os.path.join(REPO, "data/motions/humanoid3d_cartwheel.txt"),
+        include_velocity=False, augment="cyclic", horizon_multiple=8,
+    )
+    sched = schedules.make_schedule("cosine", 1000, convention="diffuser")
+    model = TemporalUnet(
+        transition_dim=35, dim=128,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    H = ds.horizon
+    x = jnp.zeros((2, H, 35))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+    weights = process.diffuser_loss_weights(H, 35)
+
+    def loss_fn(p, batch, rng):
+        t_rng, n_rng = jax.random.split(rng)
+        x0 = batch.trajectories
+        t = jax.random.randint(t_rng, (x0.shape[0],), 0, sched.num_timesteps)
+        return process.diffuser_p_losses(
+            sched, lambda xx, tt: model.apply(p, xx, tt), x0, t, n_rng,
+            weights, predict_epsilon=True, loss_kind="l2",
+        )
+
+    accum = 2
+    tx = optax.MultiSteps(make_optimizer("adam", lr=2e-5), accum)
+    state = TrainState.create(params, tx)
+    step = make_train_step(tx, loss_fn)
+
+    batches = ds.epochs(32, seed=0)
+    rng = jax.random.PRNGKey(0)
+
+    def run(n_micro):
+        nonlocal state, rng
+        for _ in range(n_micro):
+            rng, r = jax.random.split(rng)
+            state, loss, _ = step(state, next(batches), r)
+        jax.block_until_ready(state.params)
+        return loss
+
+    run(accum)  # compile + warmup
+    n_opt_steps = 50
+    t0 = time.perf_counter()
+    run(n_opt_steps * accum)
+    dt = time.perf_counter() - t0
+    steps_per_s = n_opt_steps / dt
+
+    print(json.dumps({
+        "metric": "train_steps_per_s_temporal_unet_dim128_bs32",
+        "value": round(steps_per_s, 2),
+        "unit": "optimizer_steps/s/chip",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,29 @@ def diffuser_p_losses(
     return weighted_loss(x_recon, target, weights, loss_kind)
 
 
+def angle_velocity_loss(
+    sched: Schedule,
+    model_fn,
+    x0: jnp.ndarray,
+    t: jnp.ndarray,
+    rng: jax.Array,
+    smooth_loss_weight: float = 0.1,
+):
+    """Tuning-model loss (transformer_temporal_new.py:178-232): the model
+    predicts noise; recover x0_hat and take MSE on the angles plus a
+    velocity-smoothness MSE on frame differences."""
+    noise = jax.random.normal(rng, x0.shape, x0.dtype)
+    x_noisy = q_sample(sched, x0, t, noise)
+    eps_hat = model_fn(x_noisy, t)
+    x0_hat = predict_start_from_noise(sched, x_noisy, t, eps_hat)
+    angle_loss = ((x0_hat - x0) ** 2).mean()
+    pred_vel = x0_hat[:, 1:] - x0_hat[:, :-1]
+    true_vel = x0[:, 1:] - x0[:, :-1]
+    velocity_loss = ((pred_vel - true_vel) ** 2).mean()
+    loss = angle_loss + smooth_loss_weight * velocity_loss
+    return loss, {"loss_angle": angle_loss, "loss_velocity": velocity_loss}
+
+
 def v4_training_loss(
     sched: Schedule,
     model_fn,

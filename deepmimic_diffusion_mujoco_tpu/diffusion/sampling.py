@@ -89,6 +89,9 @@ def sample_loop(
       noise zeroed at t == 0, loop t = t_start-1 .. 0.
     mode="v4": stack-B update (diffusion_v4.py:136-146), noise zeroed at
       t == 1, loop t = T-1 .. 1.
+    mode="ddpm": the tuning model's loop (transformer_temporal_new.py:
+      234-263): same update as v4 but running all the way to t = 0 with
+      noise zeroed there.
 
     `t_start` truncates the chain (reference `max_timesteps`,
     diffusion.py:195,210): with `starting_motion` this is the
@@ -117,14 +120,15 @@ def sample_loop(
         t = jnp.full((shape[0],), t_scalar, jnp.int32)
         pred = _model_prediction(model_fn, x, t, y, cfg_scale, uncond_y)
         noise = jax.random.normal(noise_rng, shape, jnp.float32)
-        if mode == "v4":
+        if mode in ("v4", "ddpm"):
             eps_hat = (
                 predict_noise_from_start(sched, x, t, pred)
                 if not predict_epsilon
                 else pred
             )
-            # Reference zeroes noise on the final (t==1) step
-            # (diffusion_v4.py:141-144).
+            # Reference zeroes noise on the final step (t==1 for v4,
+            # diffusion_v4.py:141-144; t==0 for ddpm,
+            # transformer_temporal_new.py:254).
             noise = jnp.where(t_scalar > t_end, 1.0, 0.0) * noise
             x = ddpm_step(sched, x, t, eps_hat, noise)
         else:

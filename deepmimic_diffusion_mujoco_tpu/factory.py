@@ -1,0 +1,65 @@
+"""Build models / schedules / losses / samplers from an ExperimentConfig.
+
+The functional replacement for DiffusionTrainer._create_model /
+_create_diffusion (train_transformer.py:152-227) and the notebooks' pickled
+Config factories (diffuser/utils/config.py:22-69): everything is
+reconstructable from one JSON document, which is also what checkpoint
+metadata stores for architecture autodetect.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .diffusion.schedules import Schedule, make_schedule
+from .models.local_attention import LocalTransformer
+from .models.temporal_unet import TemporalUnet
+from .models.transformer import TransformerMotionModel
+from .models.transformer_decoder import TransformerDecoderMotionModel
+from .train.config import DiffusionConfig, ExperimentConfig, ModelConfig
+
+
+def build_model(cfg: ModelConfig):
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    if cfg.architecture == "transformer":
+        return TransformerMotionModel(
+            input_dim=cfg.input_dim, latent_dim=cfg.latent_dim,
+            n_heads=cfg.n_heads, num_layers=cfg.num_layers,
+            dim_feedforward=cfg.dim_feedforward,
+            max_sequence_length=cfg.max_seq_len,
+            num_classes=cfg.num_classes, dtype=dtype,
+        )
+    if cfg.architecture == "temporal":
+        return TemporalUnet(
+            transition_dim=cfg.input_dim, dim=cfg.channel_dim,
+            dim_mults=tuple(cfg.dim_mults), attention=cfg.attention,
+            dtype=dtype,
+        )
+    if cfg.architecture == "local_attention":
+        return LocalTransformer(
+            input_dim=cfg.input_dim, max_seq_len=cfg.max_seq_len,
+            dim=cfg.latent_dim, depth=cfg.depth, heads=cfg.n_heads,
+            dim_head=cfg.dim_head, window_size=cfg.window_size,
+            causal=cfg.causal, use_xpos=cfg.use_xpos,
+            num_classes=cfg.num_classes, use_pallas=cfg.use_pallas,
+            dtype=dtype,
+        )
+    if cfg.architecture == "decoder":
+        return TransformerDecoderMotionModel(
+            horizon=cfg.max_seq_len, transition_dim=cfg.input_dim,
+            dim=cfg.latent_dim, n_heads=cfg.n_heads,
+            num_layers=cfg.num_layers, dtype=dtype,
+        )
+    raise ValueError(f"unknown architecture {cfg.architecture!r}")
+
+
+def build_schedule(cfg: DiffusionConfig) -> Schedule:
+    return make_schedule(
+        kind=cfg.schedule_type, timesteps=cfg.noise_steps,
+        beta_start=cfg.beta_start, beta_end=cfg.beta_end,
+        cosine_s=cfg.cosine_s, convention=cfg.convention,
+    )
+
+
+def build_experiment(cfg: ExperimentConfig):
+    """-> (model, schedule). Training/eval wire the rest from cfg."""
+    return build_model(cfg.model), build_schedule(cfg.diffusion)

@@ -1,0 +1,115 @@
+"""MDM-style transformer-encoder denoiser (stack B's main model).
+
+Re-design of the reference `TransformerMotionModel`
+(diffuser/models/transformer_temporal.py:53-155):
+
+- pose_embed Linear(input -> latent), learned absolute position embedding,
+  MDM sinusoidal timestep embedding + 2-layer SiLU MLP added to every token,
+  N post-norm transformer encoder layers (torch nn.TransformerEncoderLayer
+  semantics: ReLU feed-forward, LayerNorm AFTER each residual), final Linear.
+
+Intentional fixes over the reference (documented, not replicated):
+
+- the reference constructs `nn.TransformerEncoderLayer` without
+  `batch_first=True` and feeds (B, T, D), so torch attends across the BATCH
+  axis instead of time (transformer_temporal.py:78-81,146-148); here
+  attention is over the time axis as intended;
+- class conditioning exists but is commented out in the reference
+  (transformer_temporal.py:70,138-141) even though its trainer does 10%
+  label drop for CFG (train_transformer.py:279-282); here it is a working
+  `num_classes > 0` option with the null label = num_classes (label drop /
+  unconditional branch), which is what makes CFG actually do something;
+- an optional padding mask argument supports the jagged multi-clip batches
+  (motion_dataset_v2) that the reference pads host-side.
+
+TPU notes: attention/matmuls run in `dtype` (bfloat16 recommended) on the
+MXU; params and the final output stay float32.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .embeddings import mdm_timestep_embedding
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm torch-style encoder layer."""
+
+    n_heads: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic=True):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            dtype=self.dtype,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+        )(x, x, mask=mask)
+        x = nn.LayerNorm(dtype=self.dtype)(x + attn)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype)(h)
+        return nn.LayerNorm(dtype=self.dtype)(x + h)
+
+
+class TransformerMotionModel(nn.Module):
+    input_dim: int
+    latent_dim: int = 256
+    n_heads: int = 4
+    num_layers: int = 8
+    dropout: float = 0.1
+    dim_feedforward: int = 1024
+    max_sequence_length: int = 128
+    num_classes: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time, y=None, mask=None, deterministic=True):
+        """x: (B, T, input_dim), time: (B,), y: (B,) int32 or None.
+
+        y == num_classes (or y is None) selects the learned null-label
+        embedding — the unconditional branch for classifier-free guidance.
+        mask: (B, T) 1.0 on valid frames.
+        """
+        B, T, _ = x.shape
+        h = nn.Dense(self.latent_dim, dtype=self.dtype, name="pose_embed")(x)
+
+        t_emb = mdm_timestep_embedding(time, self.latent_dim)
+        t_emb = nn.Dense(self.latent_dim, dtype=self.dtype, name="time_embed_0")(t_emb)
+        t_emb = nn.silu(t_emb)
+        t_emb = nn.Dense(self.latent_dim, dtype=self.dtype, name="time_embed_1")(t_emb)
+        h = h + t_emb[:, None, :]
+
+        pos = self.param(
+            "position_embed",
+            nn.initializers.normal(1.0),
+            (self.max_sequence_length, self.latent_dim),
+        )
+        h = h + pos[None, :T, :].astype(self.dtype)
+
+        if self.num_classes > 0:
+            cls = nn.Embed(
+                self.num_classes + 1, self.latent_dim, dtype=self.dtype,
+                name="class_embed",
+            )
+            if y is None:
+                y = jnp.full((B,), self.num_classes, jnp.int32)
+            h = h + cls(jnp.clip(y, 0, self.num_classes))[:, None, :]
+
+        attn_mask = None
+        if mask is not None:
+            # keys at padded frames are masked for every query
+            attn_mask = mask[:, None, None, :].astype(bool)
+        for i in range(self.num_layers):
+            h = EncoderLayer(
+                self.n_heads, self.dim_feedforward, self.dropout,
+                dtype=self.dtype, name=f"layer_{i}",
+            )(h, attn_mask, deterministic)
+
+        out = nn.Dense(self.input_dim, dtype=self.dtype, name="final_layer")(h)
+        return out.astype(jnp.float32)

@@ -1,0 +1,68 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is single-process, single-GPU ("cuda:0" hard-coded,
+diffuser/utils/arrays.py:7; SURVEY.md section 2.10). Scale-out here is
+TPU-native from the start:
+
+- a ('data', 'seq') mesh: batch sharded over `data` for training; the time
+  axis of long-horizon sampling shardable over `seq` (block-local attention
+  maps onto neighbor halo exchange),
+- sharding via NamedSharding + jit; XLA inserts psum/all_gather over ICI,
+- multi-host: `jax.distributed.initialize()` then the same code — the mesh
+  spans all processes' devices and each host feeds its local shard
+  (host-sharded input pipeline in data/datasets.py + make_device_batch).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int | None = None,
+    seq: int = 1,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a ('data', 'seq') mesh. Defaults to all devices on `data`."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if data is None:
+        data = len(devs) // seq
+    if data * seq != len(devs):
+        raise ValueError(f"mesh {data}x{seq} != {len(devs)} devices")
+    arr = np.asarray(devs).reshape(data, seq)
+    return Mesh(arr, ("data", "seq"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over `data`."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def seq_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, D) with the horizon sharded over `seq` (long-horizon
+    sampling; see models/local_attention.py for the halo-exchange mapping)."""
+    return NamedSharding(mesh, P("data", "seq", None))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host pytree of arrays with the batch axis sharded on `data`.
+
+    Under multi-host, each process passes its LOCAL shard and this uses
+    make_array_from_process_local_data so the global array spans hosts.
+    """
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)

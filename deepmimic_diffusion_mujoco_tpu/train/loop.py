@@ -1,0 +1,220 @@
+"""Jitted training loop: one compiled update step, data-parallel by sharding.
+
+Replaces both reference trainers (SURVEY.md section 2.5):
+
+- stack A `Trainer` (diffuser/utils/training.py:34-152): Adam 2e-5,
+  gradient accumulation (default 2), EMA(0.995, start 2000, every 10),
+  periodic save/log;
+- stack B `DiffusionTrainer` (train_transformer.py:52-441): AdamW +
+  scheduler, 10% label drop for CFG (line 281), EMA every step, best-model
+  tracking over the final 15% of steps, metadata-rich checkpoints,
+  training_metrics.json.
+
+TPU-first: the loss/grad/optimizer/EMA update is ONE jit-compiled function;
+the batch arrives sharded over the mesh's `data` axis and XLA inserts the
+gradient all-reduce (the reference's grad-accum Python loop becomes
+optax.MultiSteps inside the same compiled step). Host code only feeds
+batches and logs.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion import process
+from ..diffusion.schedules import Schedule
+from .state import EMAConfig, TrainState
+
+# loss_fn(params, batch, rng) -> (loss, info)
+LossFn = Callable[[Any, Any, jax.Array], tuple[jnp.ndarray, dict]]
+
+
+def make_loss_fn(
+    sched: Schedule,
+    model_apply: Callable,
+    kind: str = "v4",
+    *,
+    predict_epsilon: bool = True,
+    weights: jnp.ndarray | None = None,
+    loss_kind: str = "l2",
+    conditioning_fn=None,
+    label_drop_prob: float = 0.1,
+    null_label: int | None = None,
+    smooth_loss_weight: float = 0.1,
+    use_mask: bool = False,
+    train_kwargs: dict | None = None,
+) -> LossFn:
+    """Build the per-batch loss for one of the three reference stacks.
+
+    kind="diffuser": stack-A weighted p_losses (conditioning applied inside);
+    kind="v4": stack-B epsilon-MSE with CFG label drop;
+    kind="angle_velocity": the tuning model's x0+velocity loss.
+    """
+    tk = train_kwargs or {}
+
+    def loss_fn(params, batch, rng):
+        x0 = batch.trajectories
+        t_rng, n_rng, d_rng = jax.random.split(rng, 3)
+        t = jax.random.randint(t_rng, (x0.shape[0],), 0, sched.num_timesteps)
+
+        if kind == "diffuser":
+            def model_fn(x, tt):
+                return model_apply(params, x, tt, **tk)
+
+            return process.diffuser_p_losses(
+                sched, model_fn, x0, t, n_rng, weights,
+                predict_epsilon=predict_epsilon, loss_kind=loss_kind,
+                conditioning_fn=conditioning_fn,
+            )
+        if kind == "angle_velocity":
+            def model_fn(x, tt):
+                return model_apply(params, x, tt, **tk)
+
+            return process.angle_velocity_loss(
+                sched, model_fn, x0, t, n_rng,
+                smooth_loss_weight=smooth_loss_weight,
+            )
+        if kind == "v4":
+            y = getattr(batch, "motion_class", None)
+            if y is not None and null_label is not None:
+                # 10% label drop trains the unconditional branch for CFG
+                # (train_transformer.py:279-282)
+                drop = jax.random.bernoulli(d_rng, label_drop_prob, y.shape)
+                y = jnp.where(drop, null_label, y)
+
+            def model_fn(x, tt):
+                return model_apply(params, x, tt, y, **tk)
+
+            mask = batch.mask if use_mask else None
+            return process.v4_training_loss(
+                sched, model_fn, x0, t, n_rng,
+                predict_x0=not predict_epsilon, mask=mask,
+            )
+        raise ValueError(f"unknown loss kind {kind!r}")
+
+    return loss_fn
+
+
+def make_train_step(tx: optax.GradientTransformation, loss_fn: LossFn):
+    """One fully-jitted update: grads -> optimizer -> EMA. Donates the state
+    buffer so params update in place on device."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng):
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        new_state = state.apply_gradients(grads, tx)
+        return new_state, loss, info
+
+    return step
+
+
+@dataclass
+class TrainerConfig:
+    num_train_steps: int = 5000
+    batch_size: int = 64
+    gradient_accumulate_every: int = 1
+    log_every: int = 100
+    save_every: int | None = None
+    best_window_frac: float = 0.15   # best-model tracking window
+    seed: int = 0
+
+
+class Trainer:
+    """Imperative shell: feeds batches, logs, checkpoints.
+
+    `dataset` must expose .epochs(batch_size, seed) (data/datasets.py);
+    sharding of each batch is delegated to `shard_fn` (parallel/mesh.py) or
+    identity on a single device.
+    """
+
+    def __init__(
+        self,
+        state: TrainState,
+        tx: optax.GradientTransformation,
+        loss_fn: LossFn,
+        dataset,
+        config: TrainerConfig = TrainerConfig(),
+        shard_fn=None,
+        checkpointer=None,
+        log_fn=print,
+    ):
+        if config.gradient_accumulate_every > 1:
+            tx = optax.MultiSteps(tx, config.gradient_accumulate_every)
+            state = TrainState.create(state.params, tx, state.ema)
+        self.tx = tx
+        self.state = state
+        self.step_fn = make_train_step(tx, loss_fn)
+        self.dataset = dataset
+        self.config = config
+        self.shard_fn = shard_fn or (lambda b: b)
+        self.checkpointer = checkpointer
+        self.log_fn = log_fn
+        self.metrics: list[dict] = []
+        self.best_loss = float("inf")
+        self.best_step = -1
+
+    def train(self, num_steps: int | None = None):
+        cfg = self.config
+        n = num_steps if num_steps is not None else cfg.num_train_steps
+        micro = n * max(1, cfg.gradient_accumulate_every)
+        batches = self.dataset.epochs(cfg.batch_size, seed=cfg.seed)
+        rng = jax.random.PRNGKey(cfg.seed)
+        best_from = int(n * (1.0 - cfg.best_window_frac))
+        t0 = time.time()
+        for i in range(micro):
+            rng, step_rng = jax.random.split(rng)
+            batch = self.shard_fn(next(batches))
+            self.state, loss, info = self.step_fn(self.state, batch, step_rng)
+            opt_step = int(self.state.step)
+            if (i + 1) % cfg.log_every == 0:
+                loss_v = float(loss)
+                dt = time.time() - t0
+                rec = {"step": opt_step, "loss": loss_v,
+                       "steps_per_s": (i + 1) / dt,
+                       **{k: float(v) for k, v in info.items()}}
+                self.metrics.append(rec)
+                self.log_fn(
+                    f"step {opt_step}: loss {loss_v:.6f} "
+                    f"({rec['steps_per_s']:.1f} steps/s)"
+                )
+                # best-model tracking over the final window
+                # (train_transformer.py:303-339)
+                if opt_step >= best_from and loss_v < self.best_loss:
+                    self.best_loss = loss_v
+                    self.best_step = opt_step
+                    if self.checkpointer is not None:
+                        self.checkpointer.save_best(self.state, loss_v)
+            if (
+                cfg.save_every
+                and self.checkpointer is not None
+                and (i + 1) % cfg.save_every == 0
+            ):
+                self.checkpointer.save(self.state)
+        if self.checkpointer is not None:
+            self.checkpointer.save(self.state)
+        return self.state
+
+    def save_metrics(self, path: str):
+        """training_metrics.json (train_transformer.py:350-355)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "metrics": self.metrics,
+                    "best_loss": self.best_loss,
+                    "best_step": self.best_step,
+                },
+                f,
+                indent=2,
+            )

@@ -1,0 +1,213 @@
+"""Training infra: EMA semantics, loss decrease end-to-end, data-parallel
+sharded step on the 8-device CPU mesh, checkpoint roundtrip, config system."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from deepmimic_diffusion_mujoco_tpu import factory
+from deepmimic_diffusion_mujoco_tpu.data.datasets import MotionDataset
+from deepmimic_diffusion_mujoco_tpu.data.mocap import load_clip
+from deepmimic_diffusion_mujoco_tpu.diffusion import schedules
+from deepmimic_diffusion_mujoco_tpu.parallel import mesh as meshlib
+from deepmimic_diffusion_mujoco_tpu.train import checkpoint as ckpt
+from deepmimic_diffusion_mujoco_tpu.train.config import (
+    ExperimentConfig,
+    expand_grid,
+)
+from deepmimic_diffusion_mujoco_tpu.train.loop import (
+    Trainer,
+    TrainerConfig,
+    make_loss_fn,
+    make_train_step,
+)
+from deepmimic_diffusion_mujoco_tpu.train.state import EMAConfig, TrainState, make_optimizer
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data", "motions")
+WALK = os.path.join(DATA, "humanoid3d_walk.txt")
+
+
+def _tiny_setup(architecture="transformer", **model_kw):
+    cfg = ExperimentConfig()
+    cfg.model.architecture = architecture
+    cfg.model.input_dim = 69
+    cfg.model.latent_dim = 32
+    cfg.model.num_layers = 1
+    cfg.model.n_heads = 2
+    cfg.model.dim_feedforward = 64
+    cfg.model.max_seq_len = 64
+    cfg.model.num_classes = 9
+    for k, v in model_kw.items():
+        setattr(cfg.model, k, v)
+    cfg.diffusion.noise_steps = 20
+    model, sched = factory.build_experiment(cfg)
+    return cfg, model, sched
+
+
+def test_ema_semantics():
+    """Before `start`: EMA copies params; after: lerps every `every` steps
+    (training.py:91-99,116-117)."""
+    params = {"w": jnp.ones((2,))}
+    tx = optax.sgd(0.1)
+    state = TrainState.create(params, tx, EMAConfig(decay=0.5, start=3, every=1))
+    grads = {"w": jnp.ones((2,))}
+    s1 = state.apply_gradients(grads, tx)          # step 1 < start: copy
+    np.testing.assert_allclose(np.asarray(s1.ema_params["w"]), np.asarray(s1.params["w"]))
+    s2 = s1.apply_gradients(grads, tx)             # step 2 < start: copy
+    np.testing.assert_allclose(np.asarray(s2.ema_params["w"]), np.asarray(s2.params["w"]))
+    s3 = s2.apply_gradients(grads, tx)             # step 3 >= start: lerp
+    expect = 0.5 * np.asarray(s2.ema_params["w"]) + 0.5 * np.asarray(s3.params["w"])
+    np.testing.assert_allclose(np.asarray(s3.ema_params["w"]), expect)
+
+
+def test_train_loss_decreases_on_walk_clip():
+    """The minimum end-to-end slice: tiny transformer on the walk clip,
+    loss after a few hundred steps must drop well below the first step."""
+    cfg, model, sched = _tiny_setup()
+    ds = MotionDataset.from_path(WALK, augment="cyclic_rooted")
+    x = jnp.zeros((2, ds.horizon, 69))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+    tx = make_optimizer("adamw", lr=1e-3)
+    state = TrainState.create(params, tx, EMAConfig(start=10_000))
+    loss_fn = make_loss_fn(
+        sched, model.apply, kind="v4", predict_epsilon=False,
+        null_label=9, use_mask=True,
+    )
+    trainer = Trainer(
+        state, tx, loss_fn, ds,
+        TrainerConfig(num_train_steps=120, batch_size=8, log_every=20),
+        log_fn=lambda *_: None,
+    )
+    trainer.train()
+    first, last = trainer.metrics[0]["loss"], trainer.metrics[-1]["loss"]
+    assert last < first * 0.5, (first, last)
+
+
+def test_data_parallel_step_matches_single_device():
+    """Same batch, sharded over the 8-device CPU mesh vs single device:
+    identical loss and identical updated params."""
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    cfg, model, sched = _tiny_setup()
+    B, H = 8, 32
+    x = jnp.zeros((2, H, 69))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+    # sgd: update proportional to grad, so cross-device reduction-order
+    # noise stays ~1e-7 (adam's g/sqrt(v) amplifies near-zero grads)
+    tx = optax.sgd(0.1)
+    loss_fn = make_loss_fn(sched, model.apply, kind="v4",
+                           predict_epsilon=False, null_label=9)
+    step = make_train_step(tx, loss_fn)
+
+    rng = np.random.default_rng(0)
+    from deepmimic_diffusion_mujoco_tpu.data.datasets import Batch
+    batch = Batch(
+        trajectories=rng.normal(size=(B, H, 69)).astype(np.float32),
+        motion_class=np.arange(B, dtype=np.int32) % 9,
+        mask=np.ones((B, H), np.float32),
+        cond_frame=np.zeros((B, 69), np.float32),
+    )
+
+    def fresh_params():
+        # the step donates its input state; re-create from copies
+        return jax.tree_util.tree_map(jnp.copy, params)
+
+    s_single = TrainState.create(fresh_params(), tx)
+    s_single, loss_single, _ = step(s_single, jax.tree_util.tree_map(jnp.asarray, batch), jax.random.PRNGKey(1))
+
+    m = meshlib.make_mesh()
+    sharded = meshlib.shard_batch(m, batch)
+    s_shard = TrainState.create(fresh_params(), tx)
+    s_shard, loss_shard, _ = step(s_shard, sharded, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss_single), float(loss_shard), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(s_single.params)
+    b = jax.tree_util.tree_leaves(s_shard.params)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, model, sched = _tiny_setup()
+    x = jnp.zeros((1, 16, 69))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    tx = make_optimizer("adam", lr=1e-3)
+    state = TrainState.create(params, tx)
+    state = TrainState(
+        step=jnp.asarray(7, jnp.int32), params=state.params,
+        opt_state=state.opt_state, ema_params=state.ema_params, ema=state.ema,
+    )
+    cp = ckpt.Checkpointer(str(tmp_path / "exp"), metadata={
+        "architecture": "transformer", "predict_x0": True,
+    })
+    cp.save(state)
+    assert cp.latest_step() == 7
+    fresh = TrainState.create(params, tx)
+    restored, meta = cp.restore(fresh)
+    assert int(restored.step) == 7
+    assert meta["architecture"] == "transformer"
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # best-model path + autodetect contract
+    cp.save_best(state, 0.123)
+    meta2 = ckpt.autodetect_metadata(str(tmp_path / "exp"))
+    assert meta2["loss"] == 0.123 and meta2["predict_x0"] is True
+
+
+def test_config_roundtrip_and_sweep(tmp_path):
+    cfg = ExperimentConfig(name="walk")
+    cfg.model.latent_dim = 256
+    p = tmp_path / "cfg.json"
+    cfg.save(str(p))
+    cfg2 = ExperimentConfig.load(str(p))
+    assert cfg2.model.latent_dim == 256
+    sweep = expand_grid(cfg, {"model.latent_dim": [128, 256],
+                              "train.lr": [1e-3, 1e-4]})
+    assert len(sweep) == 4
+    assert {c.model.latent_dim for c in sweep} == {128, 256}
+    assert all(c.name.startswith("walk_") for c in sweep)
+
+
+def test_gradient_accumulation_matches_big_batch():
+    """2 microbatches of 4 with MultiSteps == 1 batch of 8 (same grads)."""
+    cfg, model, sched = _tiny_setup()
+    H = 16
+    x = jnp.zeros((2, H, 69))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+
+    # deterministic loss (no rng dependence): L2 toward zero at fixed t
+    def fixed_loss(p, batch, rng):
+        out = model.apply(p, batch.trajectories, jnp.zeros((batch.trajectories.shape[0],)),
+                          jnp.zeros((batch.trajectories.shape[0],), jnp.int32))
+        return (out ** 2).mean(), {}
+
+    from deepmimic_diffusion_mujoco_tpu.data.datasets import Batch
+    rng = np.random.default_rng(1)
+    big = rng.normal(size=(8, H, 69)).astype(np.float32)
+
+    def mk(traj):
+        return Batch(trajectories=jnp.asarray(traj),
+                     motion_class=jnp.zeros((traj.shape[0],), jnp.int32),
+                     mask=jnp.ones((traj.shape[0], H), jnp.float32),
+                     cond_frame=jnp.zeros((traj.shape[0], 69), jnp.float32))
+
+    def fresh_params():
+        return jax.tree_util.tree_map(jnp.copy, params)
+
+    tx_big = optax.sgd(0.1)
+    step_big = make_train_step(tx_big, fixed_loss)
+    s_big = TrainState.create(fresh_params(), tx_big)
+    s_big, _, _ = step_big(s_big, mk(big), jax.random.PRNGKey(0))
+
+    tx_acc = optax.MultiSteps(optax.sgd(0.1), 2)
+    step_acc = make_train_step(tx_acc, fixed_loss)
+    s_acc = TrainState.create(fresh_params(), tx_acc)
+    s_acc, _, _ = step_acc(s_acc, mk(big[:4]), jax.random.PRNGKey(0))
+    s_acc, _, _ = step_acc(s_acc, mk(big[4:]), jax.random.PRNGKey(0))
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_big.params),
+                    jax.tree_util.tree_leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
