@@ -1,0 +1,108 @@
+"""Eval metrics: FID parity vs the reference torch implementation,
+self-consistency (FID(real, real-subset) ~ 0), diversity/SiFID behavior."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import _reference_oracle as oracle
+from deepmimic_diffusion_mujoco_tpu.data.datasets import MotionDataset
+from deepmimic_diffusion_mujoco_tpu.eval import metrics as M
+
+requires_ref = pytest.mark.skipif(not oracle.available(), reason="no reference")
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data", "motions")
+WALK = os.path.join(DATA, "humanoid3d_walk.txt")
+
+
+def _batches(seed=0, n=64, h=12, d=9):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, h, d)).astype(np.float32)
+    b = (rng.normal(size=(n, h, d)) * 1.4 + 0.3).astype(np.float32)
+    return a, b
+
+
+@requires_ref
+def test_fid_parity_with_reference():
+    import torch
+
+    fid_mod = oracle.load_module("metrics/fid_score.py", "ref_fid")
+    a, b = _batches()
+    ref = fid_mod.MotionFID(torch.tensor(a), None, device="cpu")
+    mu1, s1 = ref.calculate_activation_statistics(torch.tensor(a))
+    mu2, s2 = ref.calculate_activation_statistics(torch.tensor(b))
+    ref_fid = ref.calculate_fid(mu1, s1, mu2, s2)
+    ours = M.motion_fid(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(ours, ref_fid, rtol=2e-3)
+
+
+def test_fid_self_consistency_near_zero():
+    """The reference's own sanity check (test_motion_fid.py:124): FID of two
+    disjoint subsets of the same real data should be very close to 0.
+
+    Uses per-frame features (n >> dim) so the covariance is
+    well-conditioned; the reference's whole-trajectory flattening with
+    n < dim makes the estimate rank-deficient for short clips."""
+    ds = MotionDataset.from_path(WALK, augment="cyclic_rooted")
+    frames = ds.trajectories.reshape(-1, ds.feature_dim)  # (~1500, 69)
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(frames))
+    a = frames[order[: len(order) // 2], None, :]
+    b = frames[order[len(order) // 2 :], None, :]
+    same = M.motion_fid(jnp.asarray(a), jnp.asarray(b))
+    noise = jnp.asarray(rng.normal(size=a.shape).astype(np.float32))
+    different = M.motion_fid(jnp.asarray(a), noise)
+    assert abs(same) < 0.05 * abs(different), (same, different)
+
+
+def test_diversity_metrics():
+    a, _ = _batches(n=16, h=24)
+    inter = M.inter_diversity(jnp.asarray(a))
+    assert inter > 0
+    # identical samples -> inter diversity 0
+    same = jnp.broadcast_to(jnp.asarray(a[:1]), a.shape)
+    assert M.inter_diversity(same) == 0.0
+    intra = M.intra_diversity(jnp.asarray(a), jax.random.PRNGKey(0))
+    assert intra > 0
+    # constant-in-time sample -> intra diversity 0
+    const = jnp.broadcast_to(jnp.asarray(a[:, :1, :]), a.shape)
+    assert M.intra_diversity(const, jax.random.PRNGKey(0)) == 0.0
+
+
+def test_sifid_discriminates():
+    # low-dim windows (dim 40 << 32 windows) keep covariances conditioned
+    ds = MotionDataset.from_path(
+        os.path.join(DATA, "humanoid3d_cartwheel.txt"), augment="cyclic_rooted"
+    )
+    gt = jnp.asarray(ds.trajectories[0][:160, 7:15])
+    near = jnp.asarray(ds.trajectories[1:5][:, :160, 7:15])
+    rng = np.random.default_rng(1)
+    far = jnp.asarray(rng.normal(size=near.shape).astype(np.float32))
+    s_near = M.sifid(near, gt, window_size=5, step_size=5)
+    s_far = M.sifid(far, gt, window_size=5, step_size=5)
+    assert s_near < s_far * 0.2, (s_near, s_far)
+
+
+def test_slice_windows_matches_reference_slicing():
+    x = jnp.arange(35 * 5, dtype=jnp.float32).reshape(35, 5)
+    w = M.slice_windows(x, 10, 10)
+    assert w.shape == (3, 10, 5)          # offsets 0, 10, 20
+    np.testing.assert_allclose(np.asarray(w[1, 0]), np.asarray(x[10]))
+
+
+def test_evaluate_harness_shapes():
+    ds = MotionDataset.from_path(WALK, augment="cyclic_rooted")
+    gt = jnp.asarray(ds.trajectories[0])
+    rng = np.random.default_rng(0)
+
+    def sample_fn(n):
+        i = rng.integers(0, len(ds.trajectories), size=n)
+        return jnp.asarray(ds.trajectories[i])
+
+    out = M.evaluate(sample_fn, gt, num_samples=8, replications=2)
+    for key in ("sampling_rate", "inter_diversity", "intra_diversity",
+                "gt_intra_diversity", "intra_diversity_gt_diff", "sifid"):
+        assert "mean" in out[key] and "std" in out[key]
+    assert out["sampling_rate"]["mean"] > 0

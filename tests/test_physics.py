@@ -1,0 +1,125 @@
+"""Physics: JAX FK parity vs the MuJoCo C engine on real mocap frames,
+vectorized env semantics, tracking reward sanity."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from deepmimic_diffusion_mujoco_tpu.data.mocap import load_clip
+from deepmimic_diffusion_mujoco_tpu.physics import env as envlib
+from deepmimic_diffusion_mujoco_tpu.physics import kinematics as kin
+from deepmimic_diffusion_mujoco_tpu.physics.humanoid_model import (
+    BODIES,
+    to_xml,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data", "motions")
+WALK = os.path.join(DATA, "humanoid3d_walk.txt")
+
+mujoco = pytest.importorskip("mujoco")
+
+
+@pytest.fixture(scope="module")
+def mj():
+    model = mujoco.MjModel.from_xml_string(to_xml())
+    return model, mujoco.MjData(model)
+
+
+def test_fk_matches_mujoco_on_walk_frames(mj):
+    """Body positions + orientations from our FK vs mj_forward on every
+    frame of the walk clip."""
+    model, data = mj
+    clip = load_clip(WALK)
+    ours = kin.forward_kinematics(jnp.asarray(clip.qpos, jnp.float32))
+    for t in range(clip.num_frames):
+        data.qpos[:] = clip.qpos[t]
+        mujoco.mj_forward(model, data)
+        for bi, b in enumerate(BODIES):
+            mj_bi = model.body(b.name).id
+            np.testing.assert_allclose(
+                np.asarray(ours.body_pos[t, bi]), data.xpos[mj_bi],
+                atol=2e-5, err_msg=f"frame {t} body {b.name}",
+            )
+            q_ours = np.asarray(ours.body_quat[t, bi])
+            q_mj = data.xquat[mj_bi]
+            # quaternions are sign-ambiguous
+            assert min(np.abs(q_ours - q_mj).max(), np.abs(q_ours + q_mj).max()) < 2e-5, (
+                t, b.name)
+
+
+def test_fk_com_matches_mujoco(mj):
+    model, data = mj
+    clip = load_clip(WALK)
+    ours = kin.forward_kinematics(jnp.asarray(clip.qpos[:5], jnp.float32))
+    for t in range(5):
+        data.qpos[:] = clip.qpos[t]
+        mujoco.mj_forward(model, data)
+        # subtree COM of the root body == whole-body COM
+        root_id = model.body("root").id
+        np.testing.assert_allclose(
+            np.asarray(ours.com[t]), data.subtree_com[root_id], atol=1e-3
+        )
+
+
+def test_vectorized_env_step_and_phase_carry():
+    clip = load_clip(WALK)
+    e = envlib.KinematicEnv(clip.qpos, clip.qvel)
+    n = 64
+    state = e.reset(n, stagger=True)
+    T = e.num_frames
+    # step through just over one full loop
+    for _ in range(T + 1):
+        state, fk, reward = e.step(state)
+    assert state.qpos.shape == (n, 35)
+    assert fk.body_pos.shape == (n, len(BODIES), 3)
+    # instances that wrapped carry the clip's net root displacement
+    assert np.count_nonzero(np.abs(np.asarray(state.phase_offset[:, 0])) > 1e-6) > 0
+    # z offset never carried (mocap_player.py:78)
+    np.testing.assert_allclose(np.asarray(state.phase_offset[:, 2]), 0.0)
+    # rewards near 1: the env tracks the clip exactly up to phase offset
+    r = np.asarray(reward)
+    assert r.shape == (n,)
+    assert (r > 0.35).all()  # wrapped instances differ by root offset (com term)
+
+
+def test_tracking_reward_perfect_and_perturbed():
+    clip = load_clip(WALK)
+    q = jnp.asarray(clip.qpos[:8], jnp.float32)
+    v = jnp.asarray(clip.qvel[:8], jnp.float32)
+    r_perfect = envlib.tracking_reward(q, v, q, v)
+    np.testing.assert_allclose(np.asarray(r_perfect), 1.0, atol=1e-5)
+    rng = np.random.default_rng(0)
+    q_bad = q + jnp.asarray(rng.normal(0, 0.3, q.shape), jnp.float32)
+    r_bad = envlib.tracking_reward(q_bad, v, q, v)
+    assert (np.asarray(r_bad) < np.asarray(r_perfect) - 0.1).all()
+
+
+def test_pd_physics_tracks_target():
+    """The PD env should pull joints toward the target pose."""
+    clip = load_clip(WALK)
+    target = jnp.asarray(clip.qpos[10], jnp.float32)[None]
+    qpos = jnp.asarray(clip.qpos[0], jnp.float32)[None]
+    qvel = jnp.zeros((1, 34), jnp.float32)
+    pd = envlib.PDPhysicsEnv()
+    err0 = float(jnp.abs(qpos[..., 7:] - target[..., 7:]).mean())
+    for _ in range(30):
+        qpos, qvel = pd.step(qpos, qvel, target)
+    err1 = float(jnp.abs(qpos[..., 7:] - target[..., 7:]).mean())
+    assert err1 < err0 * 0.2, (err0, err1)
+    # root stays above the ground clamp
+    assert float(qpos[0, 2]) >= 0.4 - 1e-6
+
+
+def test_player_fk_oracle_roundtrip():
+    """MocapPlayer (mujoco engine) and our FK agree through the public
+    player API."""
+    from deepmimic_diffusion_mujoco_tpu.physics.player import MocapPlayer
+
+    clip = load_clip(WALK)
+    player = MocapPlayer()
+    pos = player.body_positions(clip.qpos[3])
+    ours = kin.forward_kinematics(jnp.asarray(clip.qpos[3], jnp.float32))
+    for bi, b in enumerate(BODIES):
+        np.testing.assert_allclose(np.asarray(ours.body_pos[bi]), pos[b.name], atol=2e-5)
