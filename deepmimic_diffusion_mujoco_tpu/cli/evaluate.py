@@ -1,0 +1,69 @@
+"""Evaluation CLI (the eval.py equivalent).
+
+    python -m deepmimic_diffusion_mujoco_tpu.cli.evaluate --run experiments/run1 \
+        --gt data/motions/humanoid3d_walk.txt [--num 50 --reps 5]
+
+Reports sampling rate, intra/inter diversity, gt-diversity diff and SiFID
+(mean +/- std over replications), the eval.py:92-142 harness.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.mocap import load_clip
+from ..eval import metrics as M
+from ..diffusion.sampling import sample_loop
+from .sample import load_run
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run", required=True)
+    p.add_argument("--gt", required=True, help="ground-truth clip (.txt) or .npy")
+    p.add_argument("--num", type=int, default=50)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--json", dest="json_out", default=None)
+    args = p.parse_args(argv)
+
+    cfg, model, sched, state, meta = load_run(args.run)
+    params = state.ema_params if args.ema else state.params
+    d = cfg.diffusion
+    D = cfg.model.input_dim
+
+    if args.gt.endswith(".txt"):
+        clip = load_clip(args.gt)
+        gt = clip.combined() if D == 69 else clip.qpos
+    else:
+        gt = np.load(args.gt)
+    H = args.frames or min(gt.shape[0], cfg.model.max_seq_len)
+    gt = jnp.asarray(gt[:H, :D], jnp.float32)
+
+    seed = [0]
+
+    def sample_fn(n):
+        seed[0] += 1
+        return sample_loop(
+            sched, lambda x, t, y: model.apply(params, x, t, y),
+            (n, H, D), jax.random.PRNGKey(seed[0]),
+            mode=d.mode, predict_epsilon=not d.predict_x0,
+            clip_denoised=d.clip_denoised,
+        ).trajectories
+
+    results = M.evaluate(sample_fn, gt, num_samples=args.num,
+                         replications=args.reps)
+    text = json.dumps(results, indent=2)
+    print(text)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(text)
+
+
+if __name__ == "__main__":
+    main()

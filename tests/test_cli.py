@@ -1,0 +1,111 @@
+"""End-to-end CLI workflow: train -> sample -> play -> evaluate, in-process
+(the CLIs are argparse mains; we call them with argv lists)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data", "motions")
+WALK = os.path.join(DATA, "humanoid3d_walk.txt")
+
+TINY = [
+    "--set",
+    "model.latent_dim=32", "model.num_layers=1", "model.n_heads=2",
+    "model.dim_feedforward=64", "model.max_seq_len=40",
+    "model.num_classes=9", "diffusion.noise_steps=8",
+    "train.log_every=5", "train.ema_start=5",
+]
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("exp") / "run")
+    from deepmimic_diffusion_mujoco_tpu.cli import train
+
+    train.main([
+        "--data", WALK, "--architecture", "transformer",
+        "--steps", "20", "--batch-size", "4", "--out", out, *TINY,
+    ])
+    return out
+
+
+def test_train_cli_artifacts(run_dir):
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    assert os.path.exists(os.path.join(run_dir, "training_metrics.json"))
+    with open(os.path.join(run_dir, "training_metrics.json")) as f:
+        metrics = json.load(f)
+    assert len(metrics["metrics"]) >= 2
+    ckpts = os.listdir(os.path.join(run_dir, "checkpoints"))
+    assert any(c.startswith("state_") for c in ckpts)
+
+
+def test_sample_cli_and_playback(run_dir, tmp_path, capsys):
+    from deepmimic_diffusion_mujoco_tpu.cli import sample, play
+
+    out_dir = str(tmp_path / "samples")
+    sample.main([
+        "--run", run_dir, "--num", "2", "--frames", "24",
+        "--conditioner", "holding_box", "--out", out_dir,
+    ])
+    files = sorted(os.listdir(out_dir))
+    assert files == ["motion1.npy", "motion2.npy"]
+    m = np.load(os.path.join(out_dir, "motion1.npy"))
+    assert m.shape == (24, 35)
+    # conditioner contract: shoulders 0, elbows 1.57 (reference's own check)
+    np.testing.assert_allclose(m[:, 13:16], 0.0)
+    np.testing.assert_allclose(m[:, 16], 1.57, atol=1e-6)
+    # playback through the MuJoCo engine (headless: compute-only)
+    play.main([os.path.join(out_dir, "motion1.npy"), "--no-render"])
+    assert "played" in capsys.readouterr().out
+
+
+def test_sample_cli_cfg_and_ema(run_dir, tmp_path):
+    from deepmimic_diffusion_mujoco_tpu.cli import sample
+
+    out_dir = str(tmp_path / "s2")
+    sample.main([
+        "--run", run_dir, "--num", "1", "--frames", "16",
+        "--class-id", "0", "--cfg-scale", "2.5", "--ema", "--out", out_dir,
+    ])
+    assert np.load(os.path.join(out_dir, "motion1.npy")).shape == (16, 35)
+
+
+def test_evaluate_cli(run_dir, tmp_path, capsys):
+    from deepmimic_diffusion_mujoco_tpu.cli import evaluate
+
+    out = str(tmp_path / "eval.json")
+    evaluate.main([
+        "--run", run_dir, "--gt", WALK, "--num", "4", "--reps", "2",
+        "--frames", "24", "--json", out,
+    ])
+    with open(out) as f:
+        res = json.load(f)
+    assert res["sampling_rate"]["mean"] > 0
+    assert "sifid" in res
+
+
+def test_sweep_cli(tmp_path):
+    from deepmimic_diffusion_mujoco_tpu.cli import sweep
+
+    grid = tmp_path / "grid.json"
+    grid.write_text(json.dumps({"train.lr": [1e-3, 1e-4]}))
+    base = tmp_path / "base.json"
+    from deepmimic_diffusion_mujoco_tpu.train.config import ExperimentConfig
+
+    cfg = ExperimentConfig(name="tiny")
+    cfg = cfg.override({
+        "data.path": WALK, "model.latent_dim": 32, "model.num_layers": 1,
+        "model.n_heads": 2, "model.dim_feedforward": 64,
+        "model.max_seq_len": 40, "model.num_classes": 9,
+        "diffusion.noise_steps": 8, "train.num_train_steps": 10,
+        "train.batch_size": 4, "train.log_every": 5,
+    })
+    cfg.save(str(base))
+    out = str(tmp_path / "sweep")
+    sweep.main(["--config", str(base), "--grid", str(grid), "--out", out])
+    with open(os.path.join(out, "final_summary.json")) as f:
+        summary = json.load(f)
+    assert len(summary["all"]) == 2
+    assert summary["best"]["best_loss"] <= summary["all"][-1]["best_loss"]
+    assert os.path.exists(os.path.join(out, "best_configs.txt"))
