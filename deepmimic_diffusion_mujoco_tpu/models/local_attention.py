@@ -119,12 +119,17 @@ def local_attention(
             bq = apply_rotary(bq, ang[-w:])
             bk = apply_rotary(bk, ang)
 
-    # positions for masking (sentinel -1 marks out-of-range windows)
+    # positions for masking (sentinel -1 marks out-of-range windows);
+    # pure numpy so the mask is a compile-time constant under jit
     t_pos = np.arange(n).reshape(nw, w)
-    j_pos = np.asarray(
-        _look_around(jnp.asarray(t_pos[..., None], jnp.int32), look_backward,
-                     look_forward, pad_value=-1)
-    )[..., 0]  # (nw, jw)
+    padded = np.concatenate(
+        [np.full((look_backward, w), -1, np.int64), t_pos,
+         np.full((look_forward, w), -1, np.int64)], axis=0
+    )
+    j_pos = np.concatenate(
+        [padded[i : i + nw] for i in range(look_backward + look_forward + 1)],
+        axis=-1,
+    )  # (nw, jw)
     ti = t_pos[:, :, None]          # (nw, w, 1)
     tj = j_pos[:, None, :]          # (nw, 1, jw)
     neg = tj < 0

@@ -22,7 +22,9 @@ def local_attention_pallas(q, k, v, window_size, *, causal=False,
     The Pallas kernel fuses the look-around concat, rotary, QK^T, masking,
     softmax and PV into one VMEM-resident pass per (batch*head, window) tile.
     """
-    if _on_tpu():
+    from . import local_attention_kernel as _k
+
+    if _on_tpu() or _k.INTERPRET:
         from .local_attention_kernel import local_attention_tpu
 
         return local_attention_tpu(
