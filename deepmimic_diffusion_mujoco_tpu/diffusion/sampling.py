@@ -64,6 +64,7 @@ def _model_prediction(
     static_argnames=(
         "model_fn", "shape", "mode", "predict_epsilon", "conditioning_fn",
         "t_start", "return_chain", "cfg_scale", "clip_denoised",
+        "x_sharding",
     ),
 )
 def sample_loop(
@@ -82,6 +83,7 @@ def sample_loop(
     y: jnp.ndarray | None = None,
     uncond_y: jnp.ndarray | None = None,
     clip_denoised: bool = False,
+    x_sharding=None,
 ) -> SampleResult:
     """Run the full reverse chain.
 
@@ -98,17 +100,30 @@ def sample_loop(
     motion-to-motion translation behavior (shallow noising, few steps).
     `shape` may use any horizon divisible by the model's downsample factor —
     the 0.75x / 3x projection behaviors are just different `shape` values.
+
+    `x_sharding` (a NamedSharding, e.g. parallel.mesh.seq_sharding) pins the
+    trajectory layout each step — shard the HORIZON over the mesh's `seq`
+    axis and XLA's SPMD partitioner inserts the halo exchanges for the
+    U-Net's convolutions / local attention's look-around reads
+    (ring-style neighbor collectives over ICI), scaling horizon past
+    per-chip memory (SURVEY.md sections 2.10, 5).
     """
     T = sched.num_timesteps
     if t_start is None:
         t_start = T
     t_end = 1 if mode == "v4" else 0
 
+    def pin(x):
+        if x_sharding is not None:
+            return jax.lax.with_sharding_constraint(x, x_sharding)
+        return x
+
     rng, init_rng = jax.random.split(rng)
     if starting_motion is not None:
         x = jnp.broadcast_to(starting_motion, shape).astype(jnp.float32)
     else:
         x = jax.random.normal(init_rng, shape, jnp.float32)
+    x = pin(x)
     if conditioning_fn is not None:
         x = conditioning_fn(x)
 
@@ -142,6 +157,7 @@ def sample_loop(
             x = posterior_step(sched, x, t, x0_hat, noise)
         if conditioning_fn is not None:
             x = conditioning_fn(x)
+        x = pin(x)
         return (x, rng), (x if return_chain else None)
 
     (x, _), chain = jax.lax.scan(step, (x, rng), timesteps)

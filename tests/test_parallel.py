@@ -1,0 +1,93 @@
+"""Sharding: sequence-sharded long-horizon sampling matches unsharded
+output; mesh helpers; seq-sharded local attention correctness."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from deepmimic_diffusion_mujoco_tpu.diffusion import sampling, schedules
+from deepmimic_diffusion_mujoco_tpu.models.local_attention import (
+    LocalTransformer,
+    local_attention,
+)
+from deepmimic_diffusion_mujoco_tpu.models.temporal_unet import TemporalUnet
+from deepmimic_diffusion_mujoco_tpu.parallel import mesh as meshlib
+
+
+@pytest.fixture(scope="module")
+def seq_mesh():
+    assert jax.device_count() >= 8
+    return meshlib.make_mesh(data=1, seq=8)
+
+
+def test_mesh_shapes(seq_mesh):
+    assert seq_mesh.shape == {"data": 1, "seq": 8}
+    m2 = meshlib.make_mesh()
+    assert m2.shape["data"] == jax.device_count()
+
+
+def test_seq_sharded_unet_sampling_matches_unsharded(seq_mesh):
+    """Long-horizon (H=512) U-Net sampling with the horizon sharded over 8
+    devices — XLA inserts conv halo exchanges — must equal the
+    single-device result."""
+    model = TemporalUnet(transition_dim=35, dim=16)
+    H = 512
+    x = jnp.zeros((1, H, 35))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    sched = schedules.make_schedule(kind="cosine", timesteps=5, convention="diffuser")
+
+    def model_fn(xx, tt, yy):
+        return model.apply(params, xx, tt)
+
+    base = sampling.sample_loop(
+        sched, model_fn, (2, H, 35), jax.random.PRNGKey(1), mode="posterior"
+    ).trajectories
+    sharded = sampling.sample_loop(
+        sched, model_fn, (2, H, 35), jax.random.PRNGKey(1), mode="posterior",
+        x_sharding=meshlib.seq_sharding(seq_mesh),
+    ).trajectories
+    # untrained eps-chains reach |x| ~ 1e2; compare relatively
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(base), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_seq_sharded_local_attention_matches(seq_mesh):
+    """Windowed attention with the time axis sharded: the look-around
+    becomes neighbor halo exchange; output must match single-device."""
+    B, h, N, dh, w = 2, 2, 512, 16, 16
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, h, N, dh)), jnp.float32)
+               for _ in range(3))
+    base = local_attention(q, k, v, w, exact_windowsize=True, use_rotary=True)
+
+    sh = NamedSharding(seq_mesh, P(None, None, "seq", None))
+
+    @jax.jit
+    def sharded(q, k, v):
+        q = jax.lax.with_sharding_constraint(q, sh)
+        k = jax.lax.with_sharding_constraint(k, sh)
+        v = jax.lax.with_sharding_constraint(v, sh)
+        return local_attention(q, k, v, w, exact_windowsize=True, use_rotary=True)
+
+    out = sharded(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-5)
+
+
+def test_seq_sharded_local_transformer_e2e(seq_mesh):
+    """Full LocalTransformer forward under a seq-sharded input."""
+    m = LocalTransformer(input_dim=35, max_seq_len=512, dim=32, depth=2,
+                         heads=2, dim_head=16, window_size=16)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 512, 35)), jnp.float32)
+    t = jnp.array([3])
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    base = m.apply(params, x, t)
+    sh = NamedSharding(seq_mesh, P(None, "seq", None))
+
+    @jax.jit
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, sh)
+        return m.apply(params, x, t)
+
+    np.testing.assert_allclose(np.asarray(run(x)), np.asarray(base), atol=3e-5)
