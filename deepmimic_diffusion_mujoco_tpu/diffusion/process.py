@@ -41,6 +41,26 @@ def predict_noise_from_start(sched: Schedule, x_t, t, x0):
     return (x_t - jnp.sqrt(acp) * x0) / jnp.sqrt(1.0 - acp)
 
 
+def predict_v(sched: Schedule, x0, t, noise):
+    """v-parameterization target: v = sqrt(acp)*eps - sqrt(1-acp)*x0
+    (stack C's denoising_diffusion_pytorch objective="pred_v",
+    ddpm/ddpm.ipynb via README.md:50-54)."""
+    nd = x0.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * noise
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * x0
+    )
+
+
+def predict_start_from_v(sched: Schedule, x_t, t, v):
+    """x0_hat from a v-prediction."""
+    nd = x_t.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * x_t
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * v
+    )
+
+
 def q_posterior(sched: Schedule, x0, x_t, t):
     """Mean / variance / clipped log-variance of q(x_{t-1} | x_t, x_0)
     (diffusion.py:162-171)."""
@@ -64,6 +84,26 @@ def ddpm_step(sched: Schedule, x_t, t, eps_hat, noise):
     beta = extract(sched.betas, t, nd)
     mean = (x_t - (1.0 - alpha) / jnp.sqrt(1.0 - acp) * eps_hat) / jnp.sqrt(alpha)
     return mean + jnp.sqrt(beta) * noise
+
+
+def ddim_step(sched: Schedule, x_t, t, t_prev, x0_hat, eps_hat, noise, eta: float = 0.0):
+    """DDIM update between arbitrary timesteps t -> t_prev (the live
+    replacement for the reference's vendored-and-broken SpacedDiffusion /
+    respace.py timestep striding — SURVEY.md section 2.11)."""
+    nd = x_t.ndim
+    acp = extract(sched.alphas_cumprod, t, nd)
+    acp_prev = jnp.where(
+        (t_prev >= 0).reshape((-1,) + (1,) * (nd - 1)),
+        extract(sched.alphas_cumprod, jnp.maximum(t_prev, 0), nd),
+        jnp.ones_like(acp),
+    )
+    sigma = (
+        eta
+        * jnp.sqrt((1.0 - acp_prev) / (1.0 - acp))
+        * jnp.sqrt(1.0 - acp / acp_prev)
+    )
+    dir_xt = jnp.sqrt(jnp.clip(1.0 - acp_prev - sigma**2, 0.0)) * eps_hat
+    return jnp.sqrt(acp_prev) * x0_hat + dir_xt + sigma * noise
 
 
 def posterior_step(sched: Schedule, x_t, t, x0_hat, noise):
@@ -172,6 +212,23 @@ def angle_velocity_loss(
     velocity_loss = ((pred_vel - true_vel) ** 2).mean()
     loss = angle_loss + smooth_loss_weight * velocity_loss
     return loss, {"loss_angle": angle_loss, "loss_velocity": velocity_loss}
+
+
+def v_training_loss(
+    sched: Schedule,
+    model_fn,
+    x0: jnp.ndarray,
+    t: jnp.ndarray,
+    rng: jax.Array,
+    mask: jnp.ndarray | None = None,
+):
+    """Stack-C objective (denoising_diffusion_pytorch objective="pred_v",
+    ddpm/ddpm.ipynb): MSE between the model output and the v target."""
+    noise = jax.random.normal(rng, x0.shape, x0.dtype)
+    x_noisy = q_sample(sched, x0, t, noise)
+    v_hat = model_fn(x_noisy, t)
+    v = predict_v(sched, x0, t, noise)
+    return mse_loss(v_hat, v, mask), {}
 
 
 def v4_training_loss(

@@ -25,7 +25,14 @@ import jax
 import jax.numpy as jnp
 
 from .conditioning import Conditioner
-from .process import ddpm_step, posterior_step, predict_noise_from_start, predict_start_from_noise
+from .process import (
+    ddim_step,
+    ddpm_step,
+    posterior_step,
+    predict_noise_from_start,
+    predict_start_from_noise,
+    predict_start_from_v,
+)
 from .schedules import Schedule
 
 # Denoiser signature: (x, t, y) -> prediction (epsilon or x0 depending on
@@ -37,6 +44,19 @@ ModelFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray | None], jnp.ndarray]
 class SampleResult(NamedTuple):
     trajectories: jnp.ndarray          # (B, H, D)
     chain: jnp.ndarray | None          # (steps, B, H, D) if return_chain
+
+
+def _x0_and_eps(sched, x, t, pred, prediction: str):
+    """Normalize any model output parameterization to (x0_hat, eps_hat)."""
+    if prediction == "epsilon":
+        x0 = predict_start_from_noise(sched, x, t, pred)
+        return x0, pred
+    if prediction == "x0":
+        return pred, predict_noise_from_start(sched, x, t, pred)
+    if prediction == "v":
+        x0 = predict_start_from_v(sched, x, t, pred)
+        return x0, predict_noise_from_start(sched, x, t, x0)
+    raise ValueError(f"unknown prediction {prediction!r}")
 
 
 def _model_prediction(
@@ -62,9 +82,9 @@ def _model_prediction(
 @partial(
     jax.jit,
     static_argnames=(
-        "model_fn", "shape", "mode", "predict_epsilon", "conditioning_fn",
-        "t_start", "return_chain", "cfg_scale", "clip_denoised",
-        "x_sharding",
+        "model_fn", "shape", "mode", "predict_epsilon", "prediction",
+        "conditioning_fn", "t_start", "return_chain", "cfg_scale",
+        "clip_denoised", "x_sharding", "ddim_steps", "eta",
     ),
 )
 def sample_loop(
@@ -75,6 +95,7 @@ def sample_loop(
     *,
     mode: str = "posterior",
     predict_epsilon: bool = True,
+    prediction: str | None = None,
     conditioning_fn: Conditioner | None = None,
     starting_motion: jnp.ndarray | None = None,
     t_start: int | None = None,
@@ -84,6 +105,8 @@ def sample_loop(
     uncond_y: jnp.ndarray | None = None,
     clip_denoised: bool = False,
     x_sharding=None,
+    ddim_steps: int | None = None,
+    eta: float = 0.0,
 ) -> SampleResult:
     """Run the full reverse chain.
 
@@ -94,6 +117,13 @@ def sample_loop(
     mode="ddpm": the tuning model's loop (transformer_temporal_new.py:
       234-263): same update as v4 but running all the way to t = 0 with
       noise zeroed there.
+    mode="ddim": strided deterministic (eta=0) or stochastic sampling over
+      `ddim_steps` timesteps — the live replacement for the reference's
+      vendored, import-broken respace.py.
+
+    `prediction` ("epsilon" | "x0" | "v") names the model's output
+    parameterization; default derives from `predict_epsilon` for
+    reference-parity call sites. "v" is stack C's pred_v objective.
 
     `t_start` truncates the chain (reference `max_timesteps`,
     diffusion.py:195,210): with `starting_motion` this is the
@@ -112,6 +142,8 @@ def sample_loop(
     if t_start is None:
         t_start = T
     t_end = 1 if mode == "v4" else 0
+    if prediction is None:
+        prediction = "epsilon" if predict_epsilon else "x0"
 
     def pin(x):
         if x_sharding is not None:
@@ -127,40 +159,44 @@ def sample_loop(
     if conditioning_fn is not None:
         x = conditioning_fn(x)
 
-    timesteps = jnp.arange(t_start - 1, t_end - 1, -1)
+    if mode == "ddim":
+        n = ddim_steps if ddim_steps is not None else t_start
+        ts = jnp.linspace(0, t_start - 1, n).round().astype(jnp.int32)[::-1]
+        ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+        xs = jnp.stack([ts, ts_prev], axis=1)
+    else:
+        ts = jnp.arange(t_start - 1, t_end - 1, -1)
+        xs = jnp.stack([ts, ts - 1], axis=1)
 
-    def step(carry, t_scalar):
+    def step(carry, t_pair):
         x, rng = carry
+        t_scalar, t_prev_scalar = t_pair[0], t_pair[1]
         rng, noise_rng = jax.random.split(rng)
         t = jnp.full((shape[0],), t_scalar, jnp.int32)
         pred = _model_prediction(model_fn, x, t, y, cfg_scale, uncond_y)
         noise = jax.random.normal(noise_rng, shape, jnp.float32)
+        x0_hat, eps_hat = _x0_and_eps(sched, x, t, pred, prediction)
+        if clip_denoised:  # diffusion.py:176-177
+            x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
+            eps_hat = predict_noise_from_start(sched, x, t, x0_hat)
         if mode in ("v4", "ddpm"):
-            eps_hat = (
-                predict_noise_from_start(sched, x, t, pred)
-                if not predict_epsilon
-                else pred
-            )
             # Reference zeroes noise on the final step (t==1 for v4,
             # diffusion_v4.py:141-144; t==0 for ddpm,
             # transformer_temporal_new.py:254).
             noise = jnp.where(t_scalar > t_end, 1.0, 0.0) * noise
             x = ddpm_step(sched, x, t, eps_hat, noise)
+        elif mode == "ddim":
+            t_prev = jnp.full((shape[0],), t_prev_scalar, jnp.int32)
+            noise = jnp.where(t_prev_scalar >= 0, 1.0, 0.0) * noise
+            x = ddim_step(sched, x, t, t_prev, x0_hat, eps_hat, noise, eta)
         else:
-            x0_hat = (
-                predict_start_from_noise(sched, x, t, pred)
-                if predict_epsilon
-                else pred
-            )
-            if clip_denoised:  # diffusion.py:176-177
-                x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
             x = posterior_step(sched, x, t, x0_hat, noise)
         if conditioning_fn is not None:
             x = conditioning_fn(x)
         x = pin(x)
         return (x, rng), (x if return_chain else None)
 
-    (x, _), chain = jax.lax.scan(step, (x, rng), timesteps)
+    (x, _), chain = jax.lax.scan(step, (x, rng), xs)
     return SampleResult(trajectories=x, chain=chain)
 
 

@@ -107,6 +107,44 @@ class ResidualTemporalBlock(nn.Module):
         return h + x
 
 
+class ValueFunction(nn.Module):
+    """Scalar value head over trajectories (temporal.py:168-254): the
+    U-Net's down path + mid blocks, then a Dense head to one value per
+    trajectory. Consumed by diffusion/guidance.py's value-guided sampler."""
+
+    transition_dim: int
+    dim: int = 32
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    out_dim: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time, y=None):
+        del y
+        dims = [self.dim * m for m in self.dim_mults]
+        t = sinusoidal_pos_emb(time, self.dim)
+        t = nn.Dense(self.dim * 4, dtype=self.dtype)(t)
+        t = mish(t)
+        t = nn.Dense(self.dim, dtype=self.dtype)(t)
+
+        x = x.astype(self.dtype)
+        for i, d in enumerate(dims):
+            x = ResidualTemporalBlock(d, dtype=self.dtype)(x, t)
+            x = ResidualTemporalBlock(d, dtype=self.dtype)(x, t)
+            if i != len(dims) - 1:
+                x = nn.Conv(d, (3,), strides=(2,), padding=1, dtype=self.dtype)(x)
+        mid = dims[-1]
+        x = ResidualTemporalBlock(mid // 2, dtype=self.dtype)(x, t)
+        x = nn.Conv(mid // 2, (3,), strides=(2,), padding=1, dtype=self.dtype)(x)
+        x = ResidualTemporalBlock(mid // 4, dtype=self.dtype)(x, t)
+        x = nn.Conv(mid // 4, (3,), strides=(2,), padding=1, dtype=self.dtype)(x)
+        x = x.reshape(x.shape[0], -1)
+        h = nn.Dense(self.dim * 2, dtype=self.dtype)(jnp.concatenate([x, t], -1))
+        h = mish(h)
+        out = nn.Dense(self.out_dim, dtype=self.dtype)(h)
+        return out.astype(jnp.float32)[..., 0] if self.out_dim == 1 else out
+
+
 class TemporalUnet(nn.Module):
     transition_dim: int
     dim: int = 128            # v2 default (temporal_v2.py:56); v1 uses 32
