@@ -119,6 +119,29 @@ def make_train_step(tx: optax.GradientTransformation, loss_fn: LossFn):
     return step
 
 
+def make_train_many(tx: optax.GradientTransformation, loss_fn: LossFn):
+    """K updates in ONE compiled program: lax.scan over a stacked batch
+    pytree with leading axis K. Removes per-step host dispatch entirely —
+    the TPU-native replacement for the reference's Python step loop
+    (training.py:104-127). Returns (state, losses[K])."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def steps(state: TrainState, batches, rng):
+        def body(carry, batch):
+            state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, step_rng
+            )
+            state = state.apply_gradients(grads, tx)
+            return (state, rng), loss
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), batches)
+        return state, losses
+
+    return steps
+
+
 @dataclass
 class TrainerConfig:
     num_train_steps: int = 5000
