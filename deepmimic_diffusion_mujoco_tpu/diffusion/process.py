@@ -166,6 +166,23 @@ def mse_loss(pred, target, mask=None):
 # ---------------------------------------------------------------------------
 
 
+def kl_divergence_loss(
+    sched: Schedule,
+    x0: jnp.ndarray,
+    x_t: jnp.ndarray,
+    x0_hat: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """KL(q(x_{t-1}|x_t, x0) || p(x_{t-1}|x_t, x0_hat))
+    (losses/kl_loss.py:4-81 — the reference imports it into the tuning
+    model but never calls it; here it is a live option). Both distributions
+    share the posterior variance, so the KL reduces to the scaled squared
+    mean difference."""
+    mean_q, var, _ = q_posterior(sched, x0, x_t, t)
+    mean_p, _, _ = q_posterior(sched, x0_hat, x_t, t)
+    return (0.5 * (mean_q - mean_p) ** 2 / jnp.maximum(var, 1e-20)).mean()
+
+
 def diffuser_p_losses(
     sched: Schedule,
     model_fn,
