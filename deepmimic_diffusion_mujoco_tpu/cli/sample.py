@@ -86,6 +86,12 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true", help="sample the EMA weights")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--cfg-sweep", default=None,
+        help="comma-separated CFG scales; per-scale subdir + metadata JSON "
+             "(the reference's scale-comparison experiments, "
+             "transformer_inference.py:550-605)",
+    )
     args = p.parse_args(argv)
 
     cfg, model, sched, state, meta = load_run(args.run)
@@ -103,15 +109,41 @@ def main(argv=None):
         cfg_scale = args.cfg_scale if args.cfg_scale is not None else d.cfg_scale
 
     cond = CONDITIONERS[args.conditioner](D)
+    model_fn = lambda x, t, yy: model.apply(params, x, t, yy)
+    out_dir = args.out or os.path.join(args.run, "sampled_motions")
+
+    if args.cfg_sweep is not None:
+        import json
+
+        scales = [float(s) for s in args.cfg_sweep.split(",")]
+        if y is None:
+            y = jnp.zeros((args.num,), jnp.int32)
+            uncond_y = jnp.full((args.num,), max(n_classes, 1), jnp.int32)
+        meta = {"scales": scales, "num": args.num, "frames": H,
+                "class_id": args.class_id, "run": args.run}
+        all_paths = []
+        for s in scales:
+            out = sample_loop(
+                sched, model_fn, (args.num, H, D),
+                jax.random.PRNGKey(args.seed),
+                mode=d.mode, predict_epsilon=not d.predict_x0,
+                conditioning_fn=cond, cfg_scale=s if s > 0 else None,
+                y=y, uncond_y=uncond_y, clip_denoised=d.clip_denoised,
+            )
+            sub = os.path.join(out_dir, f"cfg_{s:g}")
+            all_paths += save_motions(np.asarray(out.trajectories), sub)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "cfg_sweep.json"), "w") as f:
+            json.dump({**meta, "files": all_paths}, f, indent=2)
+        print("\n".join(all_paths))
+        return
+
     out = sample_loop(
-        sched,
-        lambda x, t, yy: model.apply(params, x, t, yy),
-        (args.num, H, D), jax.random.PRNGKey(args.seed),
+        sched, model_fn, (args.num, H, D), jax.random.PRNGKey(args.seed),
         mode=d.mode, predict_epsilon=not d.predict_x0,
         conditioning_fn=cond, cfg_scale=cfg_scale, y=y, uncond_y=uncond_y,
         clip_denoised=d.clip_denoised,
     )
-    out_dir = args.out or os.path.join(args.run, "sampled_motions")
     paths = save_motions(np.asarray(out.trajectories), out_dir)
     print("\n".join(paths))
 

@@ -72,6 +72,24 @@ def cyclic_rotations_rooted(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def flattened_normalized(qpos: np.ndarray, frames: int = 80):
+    """Stack-C preprocessing (ddpm/ddpm.ipynb cells 2-4): min-max normalize
+    to [0, 1] and flatten (frames, 35) -> (1, frames*35, 1) for a 1-channel
+    1-D diffusion. Returns (flat, (min_val, max_val))."""
+    x = np.asarray(qpos[:frames], np.float32)
+    lo, hi = float(x.min()), float(x.max())
+    norm = (x - lo) / (hi - lo)
+    return norm.reshape(1, -1, 1), (lo, hi)
+
+
+def unflatten_denormalized(flat: np.ndarray, bounds: tuple[float, float],
+                           feature_dim: int = 35) -> np.ndarray:
+    """Inverse of :func:`flattened_normalized` (ddpm.ipynb cells 11-13)."""
+    lo, hi = bounds
+    x = np.asarray(flat).reshape(-1, feature_dim)
+    return x * (hi - lo) + lo
+
+
 @dataclass
 class MotionDataset:
     """In-memory trajectory dataset over one or more mocap clips."""
@@ -175,3 +193,36 @@ class MotionDataset:
             order = rng.permutation(n) if shuffle else np.arange(n)
             for i in range(0, n - batch_size + 1, batch_size):
                 yield self.batch(order[i : i + batch_size])
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Overlap host batch assembly + H2D transfer with device compute: a
+    background thread keeps `size` device-resident batches queued ahead
+    (the host-sharded prefetch of SURVEY.md section 7; replaces the
+    reference's DataLoader worker, training.py:72-74)."""
+    import queue
+    import threading
+
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def put(x):
+        if sharding is not None:
+            return jax.device_put(np.asarray(x), sharding)
+        return jax.device_put(np.asarray(x))
+
+    def worker():
+        for batch in iterator:
+            if stop.is_set():
+                return
+            q.put(jax.tree_util.tree_map(put, batch))
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()

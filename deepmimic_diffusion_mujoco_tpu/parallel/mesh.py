@@ -21,6 +21,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Multi-host runtime init (SURVEY.md section 5 "Distributed comm
+    backend"): call once per host before building the mesh; afterwards
+    jax.devices() spans the pod slice and the same mesh/sharding code runs
+    unchanged. No-op when already initialized or single-process with no
+    coordinator configured."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process environment without coordinator config
+        pass
+
+
 def make_mesh(
     data: int | None = None,
     seq: int = 1,

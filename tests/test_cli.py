@@ -109,3 +109,33 @@ def test_sweep_cli(tmp_path):
     assert len(summary["all"]) == 2
     assert summary["best"]["best_loss"] <= summary["all"][-1]["best_loss"]
     assert os.path.exists(os.path.join(out, "best_configs.txt"))
+
+
+def test_sample_cfg_sweep(run_dir, tmp_path):
+    from deepmimic_diffusion_mujoco_tpu.cli import sample
+
+    out_dir = str(tmp_path / "sweep")
+    sample.main([
+        "--run", run_dir, "--num", "1", "--frames", "16",
+        "--class-id", "0", "--cfg-sweep", "0,3", "--out", out_dir,
+    ])
+    assert os.path.exists(os.path.join(out_dir, "cfg_sweep.json"))
+    a = np.load(os.path.join(out_dir, "cfg_0", "motion1.npy"))
+    b = np.load(os.path.join(out_dir, "cfg_3", "motion1.npy"))
+    assert a.shape == b.shape == (16, 35)
+    assert np.abs(a - b).max() > 0  # guidance changed the sample
+
+
+def test_prefetch_to_device():
+    from deepmimic_diffusion_mujoco_tpu.data.datasets import (
+        MotionDataset,
+        prefetch_to_device,
+    )
+
+    ds = MotionDataset.from_path(WALK, augment="cyclic_rooted")
+    it = prefetch_to_device(ds.epochs(4, seed=0), size=2)
+    b1 = next(it)
+    b2 = next(it)
+    import jax
+    assert isinstance(b1.trajectories, jax.Array)
+    assert b1.trajectories.shape == b2.trajectories.shape
