@@ -30,6 +30,13 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--ema", action="store_true")
     p.add_argument("--json", dest="json_out", default=None)
+    p.add_argument(
+        "--fid", action="store_true",
+        help="also compute motion-FID of generated samples vs the real "
+             "dataset (the calculate_motion_fid.py workflow, fixed: the "
+             "reference version crashes on mismatched kwargs, "
+             "SURVEY.md section 2.6)",
+    )
     args = p.parse_args(argv)
 
     cfg, model, sched, state, meta = load_run(args.run)
@@ -58,6 +65,15 @@ def main(argv=None):
 
     results = M.evaluate(sample_fn, gt, num_samples=args.num,
                          replications=args.reps)
+    if args.fid:
+        from ..data.datasets import MotionDataset
+
+        ds = MotionDataset.from_path(
+            args.gt, include_velocity=(D == 69), augment="cyclic_rooted",
+        )
+        real = jnp.asarray(ds.trajectories[:, :H, :D])
+        gen = sample_fn(min(args.num, len(ds.trajectories)))
+        results["motion_fid"] = {"mean": M.motion_fid(real, gen), "std": 0.0}
     text = json.dumps(results, indent=2)
     print(text)
     if args.json_out:

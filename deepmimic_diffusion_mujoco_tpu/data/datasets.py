@@ -111,10 +111,16 @@ class MotionDataset:
         replicas: int = 1000,
         horizon_multiple: int = 1,
         pad_to: int | None = None,
+        frames_limit: int | None = None,
     ) -> "MotionDataset":
+        """`frames_limit` + augment="replicate" reproduces the early
+        SpinkickDiffuserDataset (first 64 frames repeated,
+        data_loaders/spinkick_diffuser_dataset.py:11-52)."""
         trajs, labels, lengths = [], [], []
         for clip in clips:
             x = clip.combined() if include_velocity else clip.qpos
+            if frames_limit is not None:
+                x = x[:frames_limit]
             x = truncate_to_multiple(x, horizon_multiple) if horizon_multiple > 1 else x
             if augment == "cyclic":
                 variants = cyclic_rotations(x)

@@ -91,3 +91,28 @@ def test_seq_sharded_local_transformer_e2e(seq_mesh):
         return m.apply(params, x, t)
 
     np.testing.assert_allclose(np.asarray(run(x)), np.asarray(base), atol=3e-5)
+
+
+def test_tensor_parallel_params_match_replicated(seq_mesh):
+    """TP-sharded transformer forward == replicated forward."""
+    from deepmimic_diffusion_mujoco_tpu.models.transformer import (
+        TransformerMotionModel,
+    )
+    from deepmimic_diffusion_mujoco_tpu.parallel import tp
+
+    m = TransformerMotionModel(input_dim=16, latent_dim=64, n_heads=4,
+                               num_layers=2, dim_feedforward=128,
+                               max_sequence_length=32)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 16)), jnp.float32)
+    t = jnp.array([1, 2])
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    base = m.apply(params, x, t)
+
+    sharded_params = tp.shard_params(params, seq_mesh,
+                                     tp.default_tp_rules("seq"))
+    # at least one leaf actually got a non-replicated layout
+    shardings = [p.sharding.spec for p in jax.tree_util.tree_leaves(sharded_params)]
+    assert any(any(s is not None for s in spec) for spec in shardings)
+
+    out = jax.jit(m.apply)(sharded_params, x, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-5)
