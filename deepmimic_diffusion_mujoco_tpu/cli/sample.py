@@ -23,7 +23,6 @@ from ..diffusion import conditioning as C
 from ..diffusion.sampling import sample_loop
 from ..train.checkpoint import Checkpointer
 from ..train.config import ExperimentConfig
-from ..train.loop import make_loss_fn  # noqa: F401 (config parity)
 from ..train.state import TrainState, make_optimizer
 
 CONDITIONERS = {

@@ -16,7 +16,7 @@ BODY_JOINTS order with hinge triples (x,y,z) or single hinges — 35 dims.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -17,14 +17,13 @@ mj_kinematics' sequential joint application).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.skeleton import DOF_DEF, QPOS_JOINT_SLICES
+from ..data.skeleton import QPOS_JOINT_SLICES
 from .humanoid_model import BODIES, BODY_INDEX, END_EFFECTOR_BODIES, TOTAL_MASS
 
 

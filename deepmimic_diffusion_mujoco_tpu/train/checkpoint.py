@@ -18,7 +18,7 @@ import glob
 import json
 import os
 import re
-from typing import Any
+
 
 import jax
 import numpy as np

@@ -32,7 +32,7 @@ import optax
 
 from ..diffusion import process
 from ..diffusion.schedules import Schedule
-from .state import EMAConfig, TrainState
+from .state import TrainState
 
 # loss_fn(params, batch, rng) -> (loss, info)
 LossFn = Callable[[Any, Any, jax.Array], tuple[jnp.ndarray, dict]]
