@@ -35,16 +35,31 @@ class Conv1dBlock(nn.Module):
     out_channels: int
     kernel_size: int = 5
     n_groups: int = 8
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (B, H, C)
-        x = nn.Conv(
-            self.out_channels, (self.kernel_size,),
-            padding=self.kernel_size // 2, dtype=self.dtype,
-        )(x)
-        x = nn.GroupNorm(num_groups=self.n_groups, dtype=self.dtype)(x)
-        return mish(x)
+        # one param set for both compute paths, so `use_pallas` can flip at
+        # inference on params trained either way
+        from ..ops.pallas.conv_block_kernel import (
+            conv_gn_mish,
+            conv_gn_mish_reference,
+        )
+
+        w = self.param(
+            "conv_kernel",
+            nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2),
+            (self.kernel_size, x.shape[-1], self.out_channels),
+        )
+        b = self.param("conv_bias", nn.initializers.zeros, (self.out_channels,))
+        gamma = self.param("gn_scale", nn.initializers.ones, (self.out_channels,))
+        beta = self.param("gn_bias", nn.initializers.zeros, (self.out_channels,))
+        fn = conv_gn_mish if self.use_pallas else conv_gn_mish_reference
+        return fn(
+            x.astype(self.dtype), w.astype(self.dtype), b, gamma, beta,
+            self.n_groups,
+        )
 
 
 class LinearAttention(nn.Module):
@@ -95,13 +110,16 @@ class PreNormResidualAttention(nn.Module):
 class ResidualTemporalBlock(nn.Module):
     out_channels: int
     kernel_size: int = 5
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, t_emb):  # x: (B,H,C), t_emb: (B,E)
-        h = Conv1dBlock(self.out_channels, self.kernel_size, dtype=self.dtype)(x)
+        h = Conv1dBlock(self.out_channels, self.kernel_size,
+                        use_pallas=self.use_pallas, dtype=self.dtype)(x)
         h = h + nn.Dense(self.out_channels, dtype=self.dtype)(mish(t_emb))[:, None, :]
-        h = Conv1dBlock(self.out_channels, self.kernel_size, dtype=self.dtype)(h)
+        h = Conv1dBlock(self.out_channels, self.kernel_size,
+                        use_pallas=self.use_pallas, dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1,), dtype=self.dtype)(x)
         return h + x
@@ -150,6 +168,7 @@ class TemporalUnet(nn.Module):
     dim: int = 128            # v2 default (temporal_v2.py:56); v1 uses 32
     dim_mults: Sequence[int] = (1, 2, 4, 8)
     attention: bool = False
+    use_pallas: bool = False  # fused conv+GN+mish kernel (ops/pallas)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -178,32 +197,32 @@ class TemporalUnet(nn.Module):
         n_res = len(dims)
         for i, d in enumerate(dims):
             is_last = i == n_res - 1
-            x = ResidualTemporalBlock(d, dtype=self.dtype)(x, t)
-            x = ResidualTemporalBlock(d, dtype=self.dtype)(x, t)
+            x = ResidualTemporalBlock(d, use_pallas=self.use_pallas, dtype=self.dtype)(x, t)
+            x = ResidualTemporalBlock(d, use_pallas=self.use_pallas, dtype=self.dtype)(x, t)
             if self.attention:
                 x = PreNormResidualAttention(dtype=self.dtype)(x)
             skips.append(x)
             if not is_last:
                 x = nn.Conv(d, (3,), strides=(2,), padding=1, dtype=self.dtype)(x)
 
-        x = ResidualTemporalBlock(dims[-1], dtype=self.dtype)(x, t)
+        x = ResidualTemporalBlock(dims[-1], use_pallas=self.use_pallas, dtype=self.dtype)(x, t)
         if self.attention:
             x = PreNormResidualAttention(dtype=self.dtype)(x)
-        x = ResidualTemporalBlock(dims[-1], dtype=self.dtype)(x, t)
+        x = ResidualTemporalBlock(dims[-1], use_pallas=self.use_pallas, dtype=self.dtype)(x, t)
 
         # Up path: one iteration per down-sampled resolution, each ending in
         # an upsample (temporal_v2.py:96-110 — `is_last` never triggers there,
         # so all three resolutions upsample; the full-res skip stays unused).
         for d in reversed(dims[:-1]):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResidualTemporalBlock(d, dtype=self.dtype)(x, t)
-            x = ResidualTemporalBlock(d, dtype=self.dtype)(x, t)
+            x = ResidualTemporalBlock(d, use_pallas=self.use_pallas, dtype=self.dtype)(x, t)
+            x = ResidualTemporalBlock(d, use_pallas=self.use_pallas, dtype=self.dtype)(x, t)
             if self.attention:
                 x = PreNormResidualAttention(dtype=self.dtype)(x)
             x = nn.ConvTranspose(
                 d, (4,), strides=(2,), padding="SAME", dtype=self.dtype
             )(x)
 
-        x = Conv1dBlock(self.dim, kernel_size=5, dtype=self.dtype)(x)
+        x = Conv1dBlock(self.dim, kernel_size=5, use_pallas=self.use_pallas, dtype=self.dtype)(x)
         x = nn.Conv(self.transition_dim, (1,), dtype=self.dtype)(x)
         return x.astype(jnp.float32)

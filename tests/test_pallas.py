@@ -80,3 +80,44 @@ def test_local_mha_use_pallas_flag():
     a = m_ref.apply(params, x, t)
     b = m_pal.apply(params, x, t)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+class TestConvGnMish:
+    def setup_method(self):
+        from deepmimic_diffusion_mujoco_tpu.ops.pallas import conv_block_kernel as CK
+        CK.INTERPRET = True
+        self.CK = CK
+
+    def teardown_method(self):
+        self.CK.INTERPRET = False
+
+    def test_forward_and_grad_parity(self):
+        CK = self.CK
+        rng = np.random.default_rng(0)
+        B, H, Cin, Cout, k, g = 2, 64, 35, 64, 5, 8
+        x = jnp.asarray(rng.normal(size=(B, H, Cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, Cin, Cout)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(Cout,)), jnp.float32)
+        gamma = jnp.asarray(rng.normal(size=(Cout,)) * 0.5 + 1, jnp.float32)
+        beta = jnp.asarray(rng.normal(size=(Cout,)) * 0.1, jnp.float32)
+        ref = CK.conv_gn_mish_reference(x, w, b, gamma, beta, g)
+        ker = CK.conv_gn_mish(x, w, b, gamma, beta, g)
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=1e-4)
+        g_k = jax.grad(lambda *a: (CK.conv_gn_mish(*a, g) ** 2).sum(),
+                       argnums=(0, 1, 2))(x, w, b, gamma, beta)
+        g_r = jax.grad(lambda *a: (CK.conv_gn_mish_reference(*a, g) ** 2).sum(),
+                       argnums=(0, 1, 2))(x, w, b, gamma, beta)
+        for a, c in zip(g_k, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-3)
+
+    def test_unet_flag_flip_same_params(self):
+        from deepmimic_diffusion_mujoco_tpu.models.temporal_unet import TemporalUnet
+
+        m0 = TemporalUnet(transition_dim=8, dim=16)
+        m1 = TemporalUnet(transition_dim=8, dim=16, use_pallas=True)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 32, 8)), jnp.float32)
+        t = jnp.zeros((1,))
+        params = m0.init(jax.random.PRNGKey(0), x, t)
+        a = m0.apply(params, x, t)
+        b = m1.apply(params, x, t)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
