@@ -27,7 +27,12 @@ from ..train.loop import Trainer, TrainerConfig, make_loss_fn
 from ..train.state import EMAConfig, TrainState, make_optimizer
 
 
-def build_trainer(cfg: ExperimentConfig, out_dir: str | None = None) -> Trainer:
+def build_trainer(
+    cfg: ExperimentConfig, out_dir: str | None = None, resume: bool = False
+) -> Trainer:
+    """`resume=True` restores the latest checkpoint from out_dir (the
+    reference's manual get_latest_epoch resume, serialization.py:21-27,
+    here first-class elastic recovery)."""
     model, sched = factory.build_experiment(cfg)
     ds = MotionDataset.from_path(
         cfg.data.path,
@@ -48,6 +53,10 @@ def build_trainer(cfg: ExperimentConfig, out_dir: str | None = None) -> Trainer:
         schedule=cfg.train.scheduler_type,
         num_train_steps=cfg.train.num_train_steps,
     )
+    if cfg.train.gradient_accumulate_every > 1:
+        import optax
+
+        tx = optax.MultiSteps(tx, cfg.train.gradient_accumulate_every)
     state = TrainState.create(
         params, tx,
         EMAConfig(cfg.train.ema_decay, cfg.train.ema_start, cfg.train.ema_every),
@@ -73,6 +82,9 @@ def build_trainer(cfg: ExperimentConfig, out_dir: str | None = None) -> Trainer:
     if out_dir:
         meta = dataclasses.asdict(cfg)
         ckpt = Checkpointer(os.path.join(out_dir, "checkpoints"), metadata=meta)
+        if resume and ckpt.latest_step() is not None:
+            state, _ = ckpt.restore(state)
+            print(f"resumed from step {int(state.step)}")
 
     # data-parallel only when the batch divides the device count; otherwise
     # run single-device (tiny debug configs)
@@ -92,6 +104,7 @@ def build_trainer(cfg: ExperimentConfig, out_dir: str | None = None) -> Trainer:
         ),
         shard_fn=shard_fn,
         checkpointer=ckpt,
+        wrap_accum=False,  # tx already wrapped above (resume-compatible)
     )
 
 
@@ -103,6 +116,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int)
     p.add_argument("--batch-size", type=int)
     p.add_argument("--out", default="experiments/run")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in --out")
     p.add_argument("--set", nargs="*", default=[],
                    help="dotted overrides, e.g. model.latent_dim=256")
     args = p.parse_args(argv)
@@ -122,7 +137,7 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     cfg.save(os.path.join(args.out, "config.json"))
-    trainer = build_trainer(cfg, args.out)
+    trainer = build_trainer(cfg, args.out, resume=args.resume)
     trainer.train()
     trainer.save_metrics(os.path.join(args.out, "training_metrics.json"))
     print(f"done: best loss {trainer.best_loss:.6f} @ step {trainer.best_step}")

@@ -171,8 +171,9 @@ class Trainer:
         shard_fn=None,
         checkpointer=None,
         log_fn=print,
+        wrap_accum: bool = True,
     ):
-        if config.gradient_accumulate_every > 1:
+        if wrap_accum and config.gradient_accumulate_every > 1:
             tx = optax.MultiSteps(tx, config.gradient_accumulate_every)
             state = TrainState.create(state.params, tx, state.ema)
         self.tx = tx

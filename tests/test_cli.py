@@ -139,3 +139,27 @@ def test_prefetch_to_device():
     import jax
     assert isinstance(b1.trajectories, jax.Array)
     assert b1.trajectories.shape == b2.trajectories.shape
+
+
+def test_train_resume(tmp_path):
+    """Kill-and-resume: a second invocation with --resume continues from
+    the saved step instead of starting over."""
+    from deepmimic_diffusion_mujoco_tpu.cli import train
+
+    out = str(tmp_path / "resume_run")
+    args = [
+        "--data", WALK, "--architecture", "transformer",
+        "--steps", "6", "--batch-size", "4", "--out", out, *TINY,
+        "--set", "train.save_every=3", "train.log_every=2",
+        "train.gradient_accumulate_every=2",
+    ]
+    train.main(args)
+    from deepmimic_diffusion_mujoco_tpu.train.checkpoint import Checkpointer
+
+    # TrainState.step counts gradient applications (microbatches):
+    # 6 optimizer steps x accum 2 = 12
+    step_before = Checkpointer(os.path.join(out, "checkpoints")).latest_step()
+    assert step_before == 12
+    train.main(args + ["--resume"])
+    step_after = Checkpointer(os.path.join(out, "checkpoints")).latest_step()
+    assert step_after == 24
