@@ -83,9 +83,13 @@ def update_with_losses(
         losses = jax.lax.all_gather(losses, axis_name).reshape(-1)
         # gathered values carry the axis' "varying" type; mark the carried
         # state varying too so the scan carry types agree under shard_map
-        state = jax.tree_util.tree_map(
-            lambda x: jax.lax.pvary(x, axis_name), state
-        )
+        def _vary(x):
+            try:
+                return jax.lax.pcast(x, axis_name, to="varying")
+            except (AttributeError, TypeError):  # older jax
+                return jax.lax.pvary(x, axis_name)
+
+        state = jax.tree_util.tree_map(_vary, state)
 
     def record(state, pair):
         ti, li = pair

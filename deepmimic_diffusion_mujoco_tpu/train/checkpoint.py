@@ -27,11 +27,26 @@ import orbax.checkpoint as ocp
 from .state import TrainState
 
 
+def _git_rev() -> str | None:
+    """Record the code revision with every checkpoint (the reference's
+    git_utils rev capture, diffuser/utils/git_utils.py:13-33)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=5, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 class Checkpointer:
     def __init__(self, directory: str, metadata: dict | None = None):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.metadata = dict(metadata or {})
+        self.metadata.setdefault("git_rev", _git_rev())
         self._ckptr = ocp.StandardCheckpointer()
 
     # -- save ------------------------------------------------------------
