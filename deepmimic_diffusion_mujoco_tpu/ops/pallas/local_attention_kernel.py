@@ -23,6 +23,15 @@ window_size <= 128; otherwise (and for xpos extrapolation, which needs
 asymmetric q/k scaling) it falls back to the jnp path. The backward pass
 recomputes through the jnp reference via custom_vjp, so gradients are
 exact while sampling and the training forward take the fused path.
+
+MEASURED (TPU v5e, bf16): the ISOLATED kernel beats the XLA formulation at
+long horizon (N=4096: 19us vs 30us, 1.6x) and loses below it (N=1024: 24us
+vs 18us). END-TO-END inside LocalTransformer the XLA path currently wins at
+all tested shapes (e.g. H=1024 dim512 depth6: 6.7 vs 10.1 ms/denoise-step)
+because the custom call is a fusion barrier between the surrounding
+matmuls. `use_pallas` therefore defaults to False; the kernel is the
+measured alternative the build plan calls for (SURVEY.md section 7 step 6)
+and the basis for future fused-block work.
 """
 from __future__ import annotations
 
