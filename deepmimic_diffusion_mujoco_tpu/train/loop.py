@@ -151,6 +151,10 @@ class TrainerConfig:
     save_every: int | None = None
     best_window_frac: float = 0.15   # best-model tracking window
     seed: int = 0
+    # >1: run this many updates per compiled call (lax.scan over staged
+    # batches — removes per-step host dispatch; logging granularity becomes
+    # one record per chunk)
+    scan_chunk: int = 1
 
 
 class Trainer:
@@ -179,6 +183,7 @@ class Trainer:
         self.tx = tx
         self.state = state
         self.step_fn = make_train_step(tx, loss_fn)
+        self.many_fn = make_train_many(tx, loss_fn) if config.scan_chunk > 1 else None
         self.dataset = dataset
         self.config = config
         self.shard_fn = shard_fn or (lambda b: b)
@@ -189,6 +194,8 @@ class Trainer:
         self.best_step = -1
 
     def train(self, num_steps: int | None = None):
+        if self.many_fn is not None:
+            return self._train_scanned(num_steps)
         cfg = self.config
         n = num_steps if num_steps is not None else cfg.num_train_steps
         micro = n * max(1, cfg.gradient_accumulate_every)
@@ -223,6 +230,51 @@ class Trainer:
                 cfg.save_every
                 and self.checkpointer is not None
                 and (i + 1) % cfg.save_every == 0
+            ):
+                self.checkpointer.save(self.state)
+        if self.checkpointer is not None:
+            self.checkpointer.save(self.state)
+        return self.state
+
+    def _train_scanned(self, num_steps: int | None = None):
+        """Chunked device loop: scan_chunk updates per compiled call."""
+        cfg = self.config
+        n = num_steps if num_steps is not None else cfg.num_train_steps
+        micro = n * max(1, cfg.gradient_accumulate_every)
+        K = cfg.scan_chunk
+        batches = self.dataset.epochs(cfg.batch_size, seed=cfg.seed)
+        rng = jax.random.PRNGKey(cfg.seed)
+        best_from = int(n * (1.0 - cfg.best_window_frac))
+        t0 = time.time()
+        done = 0
+        while done < micro:
+            k = min(K, micro - done)
+            stack = [self.shard_fn(next(batches)) for _ in range(k)]
+            staged = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *stack
+            )
+            rng, chunk_rng = jax.random.split(rng)
+            # a ragged tail chunk (k != K) just retraces many_fn once
+            self.state, losses = self.many_fn(self.state, staged, chunk_rng)
+            done += k
+            loss_v = float(losses[-1])
+            opt_step = int(self.state.step)
+            rec = {"step": opt_step, "loss": loss_v,
+                   "steps_per_s": done / (time.time() - t0)}
+            self.metrics.append(rec)
+            self.log_fn(
+                f"step {opt_step}: loss {loss_v:.6f} "
+                f"({rec['steps_per_s']:.1f} steps/s)"
+            )
+            if opt_step >= best_from and loss_v < self.best_loss:
+                self.best_loss = loss_v
+                self.best_step = opt_step
+                if self.checkpointer is not None:
+                    self.checkpointer.save_best(self.state, loss_v)
+            if (
+                cfg.save_every
+                and self.checkpointer is not None
+                and done % cfg.save_every == 0
             ):
                 self.checkpointer.save(self.state)
         if self.checkpointer is not None:

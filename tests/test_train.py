@@ -211,3 +211,25 @@ def test_gradient_accumulation_matches_big_batch():
     for a, b in zip(jax.tree_util.tree_leaves(s_big.params),
                     jax.tree_util.tree_leaves(s_acc.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_scanned_trainer_matches_semantics():
+    """scan_chunk > 1 trains the same workload (loss decreases; step count
+    correct; ragged tail chunk handled)."""
+    cfg, model, sched = _tiny_setup()
+    ds = MotionDataset.from_path(WALK, augment="cyclic_rooted")
+    x = jnp.zeros((2, ds.horizon, 69))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+    tx = make_optimizer("adamw", lr=1e-3)
+    state = TrainState.create(params, tx, EMAConfig(start=10_000))
+    loss_fn = make_loss_fn(sched, model.apply, kind="v4",
+                           predict_epsilon=False, null_label=9, use_mask=True)
+    trainer = Trainer(
+        state, tx, loss_fn, ds,
+        TrainerConfig(num_train_steps=50, batch_size=8, log_every=10,
+                      scan_chunk=15),
+        log_fn=lambda *_: None,
+    )
+    trainer.train()
+    assert int(trainer.state.step) == 50
+    assert trainer.metrics[-1]["loss"] < trainer.metrics[0]["loss"]
