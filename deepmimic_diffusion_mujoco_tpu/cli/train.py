@@ -101,6 +101,7 @@ def build_trainer(
             log_every=cfg.train.log_every,
             save_every=cfg.train.save_every,
             seed=cfg.train.seed,
+            scan_chunk=cfg.train.scan_chunk,
         ),
         shard_fn=shard_fn,
         checkpointer=ckpt,

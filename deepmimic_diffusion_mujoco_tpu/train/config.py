@@ -87,6 +87,7 @@ class TrainConfig:
     ema_every: int = 10
     label_drop_prob: float = 0.1
     seed: int = 0
+    scan_chunk: int = 1     # >1: updates per compiled call (lax.scan)
 
 
 @dataclass
