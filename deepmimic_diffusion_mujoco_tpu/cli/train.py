@@ -134,7 +134,11 @@ def main(argv=None):
         cfg = cfg.override({"train.batch_size": args.batch_size})
     for ov in args.set:
         key, _, val = ov.partition("=")
-        cfg = cfg.override({key: json.loads(val)})
+        try:
+            parsed = json.loads(val)
+        except json.JSONDecodeError:
+            parsed = val  # bare string, e.g. data.augment=replicate
+        cfg = cfg.override({key: parsed})
 
     os.makedirs(args.out, exist_ok=True)
     cfg.save(os.path.join(args.out, "config.json"))

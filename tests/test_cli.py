@@ -15,6 +15,8 @@ TINY = [
     "model.dim_feedforward=64", "model.max_seq_len=40",
     "model.num_classes=9", "diffusion.noise_steps=8",
     "train.log_every=5", "train.ema_start=5",
+    # bare-string override (not valid JSON) must parse as a string
+    "data.augment=cyclic_rooted",
 ]
 
 
