@@ -186,6 +186,7 @@ class Trainer:
         self.many_fn = make_train_many(tx, loss_fn) if config.scan_chunk > 1 else None
         self.dataset = dataset
         self.config = config
+        self._has_shard = shard_fn is not None
         self.shard_fn = shard_fn or (lambda b: b)
         self.checkpointer = checkpointer
         self.log_fn = log_fn
@@ -247,16 +248,35 @@ class Trainer:
         best_from = int(n * (1.0 - cfg.best_window_frac))
         t0 = time.time()
         done = 0
+
+        def stage(k):
+            # Single-device / no-shard path: stack on the host and ship the
+            # whole chunk in ONE transfer (K per-batch device transfers
+            # through the remote tunnel dominated wall clock otherwise).
+            # With a shard_fn, batches are already device/mesh arrays, so
+            # stack them where they live.
+            if self._has_shard:
+                stack = [self.shard_fn(next(batches)) for _ in range(k)]
+                return jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *stack
+                )
+            stack = [next(batches) for _ in range(k)]
+            host = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *stack
+            )
+            return jax.device_put(host)
+
+        staged = stage(min(K, micro))
         while done < micro:
             k = min(K, micro - done)
-            stack = [self.shard_fn(next(batches)) for _ in range(k)]
-            staged = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *stack
-            )
             rng, chunk_rng = jax.random.split(rng)
             # a ragged tail chunk (k != K) just retraces many_fn once
             self.state, losses = self.many_fn(self.state, staged, chunk_rng)
             done += k
+            # stage the NEXT chunk while the device runs this one (jax
+            # dispatch is async; the float() below is the sync point)
+            if done < micro:
+                staged = stage(min(K, micro - done))
             loss_v = float(losses[-1])
             opt_step = int(self.state.step)
             rec = {"step": opt_step, "loss": loss_v,
