@@ -181,7 +181,13 @@ class LocalMHA(nn.Module):
         q, k, v = jnp.split(qkv.reshape(B, N, 3, h, dh).transpose(0, 3, 2, 1, 4), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B, h, N, dh)
         w = window_size if window_size is not None else self.window_size
-        if self.use_pallas:
+        # the Pallas kernel takes no key mask and no trained-window override
+        # (mask_window_size), so jagged batches and window-size extrapolation
+        # must go through the jnp path for correct masking
+        use_pallas = (
+            self.use_pallas and key_mask is None and window_size is None
+        )
+        if use_pallas:
             from ..ops.pallas import local_attention_pallas
 
             out = local_attention_pallas(

@@ -152,7 +152,11 @@ class KinematicEnv:
         qpos = qpos.at[:, 0:3].add(phase)
         qvel = self.vel[nxt]
         fk = forward_kinematics(qpos)
-        reward = tracking_reward(qpos, qvel, self.motion[nxt], self.vel[nxt])
+        # reference pose shares the phase carry: after wraparound the clip's
+        # root xy is offset too, otherwise the end-effector/COM reward terms
+        # would see a spurious whole-body translation error
+        ref_qpos = self.motion[nxt].at[:, 0:3].add(phase)
+        reward = tracking_reward(qpos, qvel, ref_qpos, self.vel[nxt])
         return EnvState(nxt, phase, qpos, qvel), fk, reward
 
 

@@ -178,8 +178,16 @@ class Trainer:
         wrap_accum: bool = True,
     ):
         if wrap_accum and config.gradient_accumulate_every > 1:
-            tx = optax.MultiSteps(tx, config.gradient_accumulate_every)
-            state = TrainState.create(state.params, tx, state.ema)
+            k = config.gradient_accumulate_every
+            tx = optax.MultiSteps(tx, k)
+            # state.step counts micro-steps under MultiSteps; EMA cadence is
+            # specified in optimizer steps (training.py:116-117), so scale
+            # the start/every gates into micro-step units
+            from .state import EMAConfig
+
+            ema = EMAConfig(decay=state.ema.decay, start=state.ema.start * k,
+                            every=state.ema.every * k)
+            state = TrainState.create(state.params, tx, ema)
         self.tx = tx
         self.state = state
         self.step_fn = make_train_step(tx, loss_fn)
@@ -202,13 +210,17 @@ class Trainer:
         micro = n * max(1, cfg.gradient_accumulate_every)
         batches = self.dataset.epochs(cfg.batch_size, seed=cfg.seed)
         rng = jax.random.PRNGKey(cfg.seed)
+        accum = max(1, cfg.gradient_accumulate_every)
         best_from = int(n * (1.0 - cfg.best_window_frac))
         t0 = time.time()
+        last_saved = 0
         for i in range(micro):
             rng, step_rng = jax.random.split(rng)
             batch = self.shard_fn(next(batches))
             self.state, loss, info = self.step_fn(self.state, batch, step_rng)
-            opt_step = int(self.state.step)
+            # state.step counts micro-steps under MultiSteps; report/compare
+            # in optimizer steps (the reference's unit)
+            opt_step = int(self.state.step) // accum
             if (i + 1) % cfg.log_every == 0:
                 loss_v = float(loss)
                 dt = time.time() - t0
@@ -220,9 +232,11 @@ class Trainer:
                     f"step {opt_step}: loss {loss_v:.6f} "
                     f"({rec['steps_per_s']:.1f} steps/s)"
                 )
-                # best-model tracking over the final window
-                # (train_transformer.py:303-339)
-                if opt_step >= best_from and loss_v < self.best_loss:
+            # best-model tracking: EVERY step inside the final window, not
+            # just log points (train_transformer.py:303-339 checks each step)
+            if opt_step >= best_from:
+                loss_v = float(loss)
+                if loss_v < self.best_loss:
                     self.best_loss = loss_v
                     self.best_step = opt_step
                     if self.checkpointer is not None:
@@ -230,8 +244,9 @@ class Trainer:
             if (
                 cfg.save_every
                 and self.checkpointer is not None
-                and (i + 1) % cfg.save_every == 0
+                and opt_step // cfg.save_every > last_saved // cfg.save_every
             ):
+                last_saved = opt_step
                 self.checkpointer.save(self.state)
         if self.checkpointer is not None:
             self.checkpointer.save(self.state)
@@ -266,6 +281,8 @@ class Trainer:
             )
             return jax.device_put(host)
 
+        accum = max(1, cfg.gradient_accumulate_every)
+        last_saved = 0
         staged = stage(min(K, micro))
         while done < micro:
             k = min(K, micro - done)
@@ -278,7 +295,7 @@ class Trainer:
             if done < micro:
                 staged = stage(min(K, micro - done))
             loss_v = float(losses[-1])
-            opt_step = int(self.state.step)
+            opt_step = int(self.state.step) // accum
             rec = {"step": opt_step, "loss": loss_v,
                    "steps_per_s": done / (time.time() - t0)}
             self.metrics.append(rec)
@@ -286,16 +303,25 @@ class Trainer:
                 f"step {opt_step}: loss {loss_v:.6f} "
                 f"({rec['steps_per_s']:.1f} steps/s)"
             )
-            if opt_step >= best_from and loss_v < self.best_loss:
-                self.best_loss = loss_v
-                self.best_step = opt_step
-                if self.checkpointer is not None:
-                    self.checkpointer.save_best(self.state, loss_v)
+            # per-step best tracking inside the chunk: min/argmin over the
+            # on-device loss trace covers every step, not just chunk ends
+            if opt_step >= best_from:
+                idx = int(jnp.argmin(losses))
+                lo = float(losses[idx])
+                step_at = (done - k + idx + 1) // accum
+                if step_at >= best_from and lo < self.best_loss:
+                    self.best_loss = lo
+                    self.best_step = step_at
+                    if self.checkpointer is not None:
+                        # state is post-chunk; the best loss was observed at
+                        # step_at within this chunk (granularity: chunk)
+                        self.checkpointer.save_best(self.state, lo)
             if (
                 cfg.save_every
                 and self.checkpointer is not None
-                and done % cfg.save_every == 0
+                and opt_step // cfg.save_every > last_saved // cfg.save_every
             ):
+                last_saved = opt_step
                 self.checkpointer.save(self.state)
         if self.checkpointer is not None:
             self.checkpointer.save(self.state)

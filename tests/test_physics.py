@@ -78,10 +78,11 @@ def test_vectorized_env_step_and_phase_carry():
     assert np.count_nonzero(np.abs(np.asarray(state.phase_offset[:, 0])) > 1e-6) > 0
     # z offset never carried (mocap_player.py:78)
     np.testing.assert_allclose(np.asarray(state.phase_offset[:, 2]), 0.0)
-    # rewards near 1: the env tracks the clip exactly up to phase offset
+    # rewards ~1: the env tracks the clip exactly, and the reference pose
+    # carries the same phase offset so wraparound does not fake an error
     r = np.asarray(reward)
     assert r.shape == (n,)
-    assert (r > 0.35).all()  # wrapped instances differ by root offset (com term)
+    np.testing.assert_allclose(r, 1.0, atol=1e-4)
 
 
 def test_tracking_reward_perfect_and_perturbed():
