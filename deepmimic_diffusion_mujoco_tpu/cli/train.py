@@ -68,6 +68,14 @@ def build_trainer(
             H, cfg.model.input_dim, cfg.diffusion.action_weight,
             cfg.diffusion.loss_discount,
         )
+    # dropout is live in training for the architectures that define it
+    # (the reference's torch modules train in train() mode by default)
+    has_dropout = (
+        cfg.model.architecture == "transformer" and cfg.model.dropout > 0
+    ) or (
+        cfg.model.architecture == "local_attention"
+        and (cfg.model.attn_dropout > 0 or cfg.model.ff_dropout > 0)
+    )
     loss_fn = make_loss_fn(
         sched, model.apply, kind=cfg.diffusion.loss,
         predict_epsilon=not cfg.diffusion.predict_x0,
@@ -76,6 +84,7 @@ def build_trainer(
         null_label=cfg.model.num_classes if cfg.model.num_classes else None,
         smooth_loss_weight=cfg.diffusion.smooth_loss_weight,
         use_mask=cfg.diffusion.loss == "v4",
+        dropout=has_dropout,
     )
 
     ckpt = None
@@ -85,6 +94,14 @@ def build_trainer(
         if resume and ckpt.latest_step() is not None:
             state, _ = ckpt.restore(state)
             print(f"resumed from step {int(state.step)}")
+
+    sampler_state = None
+    if cfg.train.timestep_sampler == "loss_aware":
+        if cfg.diffusion.loss != "v4":
+            raise ValueError("timestep_sampler=loss_aware requires diffusion.loss=v4")
+        from ..diffusion.timestep_sampling import LossSecondMomentState
+
+        sampler_state = LossSecondMomentState.create(cfg.diffusion.noise_steps)
 
     # data-parallel only when the batch divides the device count; otherwise
     # run single-device (tiny debug configs)
@@ -106,6 +123,7 @@ def build_trainer(
         shard_fn=shard_fn,
         checkpointer=ckpt,
         wrap_accum=False,  # tx already wrapped above (resume-compatible)
+        sampler_state=sampler_state,
     )
 
 

@@ -256,9 +256,14 @@ def v4_training_loss(
     rng: jax.Array,
     predict_x0: bool = True,
     mask: jnp.ndarray | None = None,
+    t_weights: jnp.ndarray | None = None,
 ):
     """Stack-B training loss (diffusion_v4.py:151-191): MSE in epsilon space;
-    an x0-predicting model's output is converted to epsilon first."""
+    an x0-predicting model's output is converted to epsilon first.
+
+    `t_weights` (B,) are importance weights from a non-uniform timestep
+    sampler (resample.py:28-48); info carries the per-sample losses the
+    loss-aware sampler's ring buffer records (resample.py:124-153)."""
     noise = jax.random.normal(rng, x0.shape, x0.dtype)
     x_noisy = q_sample(sched, x0, t, noise)
     pred = model_fn(x_noisy, t)
@@ -266,4 +271,17 @@ def v4_training_loss(
         eps_hat = predict_noise_from_start(sched, x_noisy, t, pred)
     else:
         eps_hat = pred
-    return mse_loss(eps_hat, noise, mask), {}
+    err = (eps_hat - noise) ** 2
+    if mask is None:
+        per_sample = err.mean(axis=tuple(range(1, err.ndim)))
+    else:
+        m = mask[..., None]
+        per_sample = (err * m).sum(axis=(1, 2)) / (
+            m.sum(axis=(1, 2)) * err.shape[-1]
+        )
+    if t_weights is None:
+        # unweighted: keep the reference's global masked mean exactly
+        loss = mse_loss(eps_hat, noise, mask)
+    else:
+        loss = (per_sample * t_weights).mean()
+    return loss, {"per_sample_loss": per_sample}

@@ -24,6 +24,7 @@ def build_model(cfg: ModelConfig):
         return TransformerMotionModel(
             input_dim=cfg.input_dim, latent_dim=cfg.latent_dim,
             n_heads=cfg.n_heads, num_layers=cfg.num_layers,
+            dropout=cfg.dropout,
             dim_feedforward=cfg.dim_feedforward,
             max_sequence_length=cfg.max_seq_len,
             num_classes=cfg.num_classes, dtype=dtype,
@@ -40,6 +41,9 @@ def build_model(cfg: ModelConfig):
             dim=cfg.latent_dim, depth=cfg.depth, heads=cfg.n_heads,
             dim_head=cfg.dim_head, window_size=cfg.window_size,
             causal=cfg.causal, use_xpos=cfg.use_xpos,
+            num_residual_streams=cfg.num_residual_streams,
+            attn_dropout=cfg.attn_dropout, ff_dropout=cfg.ff_dropout,
+            use_dynamic_pos_bias=cfg.use_dynamic_pos_bias,
             num_classes=cfg.num_classes, use_pallas=cfg.use_pallas,
             dtype=dtype,
         )

@@ -23,10 +23,20 @@ Semantics parity with the reference:
   (local_attention.py:115-117, rotary.py:34-66),
 - autopad to window multiples (local_attention.py:124-126).
 
-Known reference divergences (deliberate): the `hyper_connections` pip
-package the reference imports is absent from its own environment.yml
-(SURVEY.md section 2.11) — residual streams here are standard pre-norm
-residuals; the broken `.optimized_local_attention` import is replaced by a
+Architecture parity with the reference's live model
+(transformer_local_attention.py:288-344, train_transformer.py:469-482):
+
+- hyper-connections residual streams (default ``num_residual_streams=4``),
+  original JAX implementation in models/hyper_connections.py,
+- attention-probability and feed-forward dropout (``attn_dropout`` /
+  ``ff_dropout``; the live config trains with 0.3 each,
+  train_transformer.py:476-477) — active when called with
+  ``deterministic=False`` and a ``dropout`` RNG,
+- optional DynamicPositionBias (transformer_local_attention.py:225-260,
+  308-310): an MLP over relative distances replaces rotary embeddings
+  (``use_rotary_pos_emb = not use_dynamic_pos_bias``).
+
+The reference's broken `.optimized_local_attention` import is replaced by a
 working Pallas kernel flag (ops/pallas, used when `use_pallas=True`).
 """
 from __future__ import annotations
@@ -36,6 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import hyper_connections as hc_lib
 from .embeddings import mdm_timestep_embedding, rotary_angles, apply_rotary, xpos_scale
 
 NEG_INF = -1e9
@@ -74,6 +85,9 @@ def local_attention(
     key_mask: jnp.ndarray | None = None,
     scale: float | None = None,
     mask_window_size: int | None = None,
+    bias_table: jnp.ndarray | None = None,
+    attn_dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
 ) -> jnp.ndarray:
     """Windowed attention over (B, heads, N, dh) tensors.
 
@@ -145,6 +159,13 @@ def local_attention(
     mask = jnp.asarray(bad | neg)[None, None]  # (1,1,nw,w,jw)
 
     sim = jnp.einsum("bhnie,bhnje->bhnij", bq, bk)
+    if bias_table is not None:
+        # DynamicPositionBias: bias_table (n_dist, h) indexed by |i - j|
+        # (transformer_local_attention.py:246-260; bias added to sim at
+        # local_attention.py:175-180). Out-of-range pads are masked below.
+        dist = np.minimum(np.abs(ti - tj), bias_table.shape[0] - 1)  # (nw,w,jw)
+        bias = bias_table[jnp.asarray(dist)]            # (nw, w, jw, h)
+        sim = sim + jnp.moveaxis(bias, -1, 0)[None]     # (1, h, nw, w, jw)
     sim = jnp.where(mask, NEG_INF, sim)
     if key_mask is not None:
         km = _look_around(
@@ -153,6 +174,11 @@ def local_attention(
         )[..., 0]  # (B, nw, jw)
         sim = jnp.where(km[:, None, :, None, :] > 0, sim, NEG_INF)
     attn = nn.softmax(sim, axis=-1)
+    if attn_dropout > 0.0 and dropout_rng is not None:
+        # dropout on attention probabilities (local_attention.py: dropout
+        # applied to attn after softmax)
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - attn_dropout, attn.shape)
+        attn = attn * keep / (1.0 - attn_dropout)
     out = jnp.einsum("bhnij,bhnje->bhnie", attn, bv)
     out = out.reshape(B, h, n, dh)
     return out[:, :, :N]
@@ -169,11 +195,14 @@ class LocalMHA(nn.Module):
     exact_windowsize: bool = True
     use_xpos: bool = False
     xpos_scale_base: float | None = None
+    use_rotary: bool = True
+    attn_dropout: float = 0.0
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, key_mask=None, window_size=None):
+    def __call__(self, x, key_mask=None, window_size=None, bias_table=None,
+                 deterministic=True):
         B, N, D = x.shape
         h, dh = self.heads, self.dim_head
         normed = nn.LayerNorm(dtype=self.dtype)(x)
@@ -181,11 +210,14 @@ class LocalMHA(nn.Module):
         q, k, v = jnp.split(qkv.reshape(B, N, 3, h, dh).transpose(0, 3, 2, 1, 4), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B, h, N, dh)
         w = window_size if window_size is not None else self.window_size
-        # the Pallas kernel takes no key mask and no trained-window override
-        # (mask_window_size), so jagged batches and window-size extrapolation
-        # must go through the jnp path for correct masking
+        dropping = self.attn_dropout > 0.0 and not deterministic
+        dropout_rng = self.make_rng("dropout") if dropping else None
+        # the Pallas kernel takes no key mask, no trained-window override
+        # (mask_window_size), no position bias and no dropout, so those
+        # cases go through the jnp path for correct semantics
         use_pallas = (
             self.use_pallas and key_mask is None and window_size is None
+            and bias_table is None and not dropping and self.use_rotary
         )
         if use_pallas:
             from ..ops.pallas import local_attention_pallas
@@ -199,6 +231,7 @@ class LocalMHA(nn.Module):
             out = local_attention(
                 q, k, v, w, causal=self.causal,
                 exact_windowsize=self.exact_windowsize,
+                use_rotary=self.use_rotary,
                 use_xpos=self.use_xpos,
                 # xpos scale base is anchored to the TRAINED window
                 # (local_attention.py:100-101)
@@ -208,6 +241,8 @@ class LocalMHA(nn.Module):
                     else self.window_size // 2
                 ),
                 key_mask=key_mask, mask_window_size=self.window_size,
+                bias_table=bias_table, attn_dropout=self.attn_dropout,
+                dropout_rng=dropout_rng,
             )
         out = out.transpose(0, 2, 1, 3).reshape(B, N, h * dh)
         return nn.Dense(D, use_bias=False, dtype=self.dtype)(out)
@@ -215,20 +250,43 @@ class LocalMHA(nn.Module):
 
 class GEGLUFeedForward(nn.Module):
     """Pre-norm GEGLU MLP (transformer_local_attention.py:215-224):
-    inner = dim * mult * 2/3, gate via GELU."""
+    inner = dim * mult * 2/3, gate via GELU, dropout between the gate and
+    the down-projection (the reference's nn.Dropout placement)."""
 
     mult: int = 4
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic=True):
         D = x.shape[-1]
         inner = int(D * self.mult * 2 / 3)
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype)(h)
         a, g = jnp.split(h, 2, axis=-1)
         h = a * nn.gelu(g)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.Dense(D, use_bias=False, dtype=self.dtype)(h)
+
+
+class DynamicPositionBias(nn.Module):
+    """Relative-distance MLP bias
+    (transformer_local_attention.py:225-260): Linear(1->dim) SiLU
+    Linear(dim->dim) SiLU Linear(dim->heads), evaluated on integer
+    distances; the attention kernel indexes the table by |i - j|."""
+
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, n_dist: int) -> jnp.ndarray:
+        d = jnp.arange(n_dist, dtype=self.dtype)[:, None]
+        h = nn.Dense(self.dim, dtype=self.dtype)(d)
+        h = nn.silu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        h = nn.silu(h)
+        return nn.Dense(self.heads, dtype=self.dtype)(h)  # (n_dist, heads)
 
 
 class LocalTransformer(nn.Module):
@@ -247,11 +305,17 @@ class LocalTransformer(nn.Module):
     ff_mult: int = 4
     use_xpos: bool = False
     num_classes: int = 0
+    # live-architecture features (transformer_local_attention.py:288-344)
+    num_residual_streams: int = 4
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    use_dynamic_pos_bias: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, time=None, y=None, mask=None, window_size=None):
+    def __call__(self, x, time=None, y=None, mask=None, window_size=None,
+                 deterministic=True):
         B, N, _ = x.shape
         h = nn.Dense(self.dim, dtype=self.dtype, name="pose_embed")(x)
         if time is not None:
@@ -271,15 +335,54 @@ class LocalTransformer(nn.Module):
                 y = jnp.full((B,), self.num_classes, jnp.int32)
             h = h + cls(jnp.clip(y, 0, self.num_classes))[:, None, :]
 
+        bias_table = None
+        if self.use_dynamic_pos_bias:
+            # DPB replaces rotary (use_rotary_pos_emb = not
+            # use_dynamic_pos_bias, transformer_local_attention.py:335);
+            # the table covers every distance a look_around neighborhood
+            # can produce for the runtime window
+            w_eff = window_size if window_size is not None else self.window_size
+            bias_table = DynamicPositionBias(
+                dim=self.dim // 2, heads=self.heads, dtype=self.dtype,
+                name="dynamic_pos_bias",
+            )(2 * w_eff)
+
+        S = self.num_residual_streams
+        use_hc = S > 1
+        if use_hc:
+            h = hc_lib.expand_streams(h, S)
         for i in range(self.depth):
-            h = h + LocalMHA(
+            mha = LocalMHA(
                 window_size=self.window_size, heads=self.heads,
                 dim_head=self.dim_head, causal=self.causal,
-                use_xpos=self.use_xpos, use_pallas=self.use_pallas,
+                use_xpos=self.use_xpos,
+                use_rotary=not self.use_dynamic_pos_bias,
+                attn_dropout=self.attn_dropout, use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"attn_{i}",
-            )(h, key_mask=mask, window_size=window_size)
-            h = h + GEGLUFeedForward(self.ff_mult, dtype=self.dtype,
-                                     name=f"ff_{i}")(h)
+            )
+            ff = GEGLUFeedForward(self.ff_mult, dropout=self.ff_dropout,
+                                  dtype=self.dtype, name=f"ff_{i}")
+            if use_hc:
+                # hyper-connections wrap each branch: width connection picks
+                # the branch input from the streams, depth connection folds
+                # the output back (layer indices 2i / 2i+1 follow the
+                # package's init counter)
+                hin, res, beta = hc_lib.HyperConnection(
+                    S, 2 * i, dtype=self.dtype, name=f"hc_attn_{i}")(h)
+                out = mha(hin, key_mask=mask, window_size=window_size,
+                          bias_table=bias_table, deterministic=deterministic)
+                h = hc_lib.depth_connection(out, res, beta)
+                hin, res, beta = hc_lib.HyperConnection(
+                    S, 2 * i + 1, dtype=self.dtype, name=f"hc_ff_{i}")(h)
+                out = ff(hin, deterministic=deterministic)
+                h = hc_lib.depth_connection(out, res, beta)
+            else:
+                h = h + mha(h, key_mask=mask, window_size=window_size,
+                            bias_table=bias_table,
+                            deterministic=deterministic)
+                h = h + ff(h, deterministic=deterministic)
+        if use_hc:
+            h = hc_lib.reduce_streams(h)
 
         h = nn.LayerNorm(dtype=self.dtype)(h)
         out = nn.Dense(self.input_dim, dtype=self.dtype, name="final_layer")(h)

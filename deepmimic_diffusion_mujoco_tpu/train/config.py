@@ -30,12 +30,20 @@ class ModelConfig:
     channel_dim: int = 128
     dim_mults: tuple = (1, 2, 4, 8)
     attention: bool = False
+    # dropout (active in training when the architecture supports it;
+    # transformer_temporal.py:59 defaults 0.1, the live local-attention
+    # config trains with attn/ff dropout 0.3, train_transformer.py:476-477)
+    dropout: float = 0.1
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
     # local attention
     depth: int = 6
     dim_head: int = 64
     window_size: int = 16
     causal: bool = False
     use_xpos: bool = False
+    num_residual_streams: int = 4
+    use_dynamic_pos_bias: bool = False
     # compute
     bf16: bool = False
     use_pallas: bool = False
@@ -88,6 +96,9 @@ class TrainConfig:
     label_drop_prob: float = 0.1
     seed: int = 0
     scan_chunk: int = 1     # >1: updates per compiled call (lax.scan)
+    # uniform | loss_aware (LossSecondMomentResampler, resample.py:124-153);
+    # loss_aware requires diffusion.loss == "v4"
+    timestep_sampler: str = "uniform"
 
 
 @dataclass

@@ -51,6 +51,7 @@ def make_loss_fn(
     null_label: int | None = None,
     smooth_loss_weight: float = 0.1,
     use_mask: bool = False,
+    dropout: bool = False,
     train_kwargs: dict | None = None,
 ) -> LossFn:
     """Build the per-batch loss for one of the three reference stacks.
@@ -58,17 +59,28 @@ def make_loss_fn(
     kind="diffuser": stack-A weighted p_losses (conditioning applied inside);
     kind="v4": stack-B epsilon-MSE with CFG label drop;
     kind="angle_velocity": the tuning model's x0+velocity loss.
+
+    dropout=True trains with active dropout: the model is applied with
+    deterministic=False and a per-step 'dropout' RNG (the reference's torch
+    modules train in train() mode, so dropout is live there by default).
     """
     tk = train_kwargs or {}
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, t=None, t_weights=None):
         x0 = batch.trajectories
-        t_rng, n_rng, d_rng = jax.random.split(rng, 3)
-        t = jax.random.randint(t_rng, (x0.shape[0],), 0, sched.num_timesteps)
+        t_rng, n_rng, d_rng, do_rng = jax.random.split(rng, 4)
+        if t is None:  # uniform sampler (resample.py:61-68)
+            t = jax.random.randint(
+                t_rng, (x0.shape[0],), 0, sched.num_timesteps
+            )
+        apply_kw = dict(tk)
+        if dropout:
+            apply_kw["deterministic"] = False
+            apply_kw["rngs"] = {"dropout": do_rng}
 
         if kind == "diffuser":
             def model_fn(x, tt):
-                return model_apply(params, x, tt, **tk)
+                return model_apply(params, x, tt, **apply_kw)
 
             return process.diffuser_p_losses(
                 sched, model_fn, x0, t, n_rng, weights,
@@ -77,7 +89,7 @@ def make_loss_fn(
             )
         if kind == "angle_velocity":
             def model_fn(x, tt):
-                return model_apply(params, x, tt, **tk)
+                return model_apply(params, x, tt, **apply_kw)
 
             return process.angle_velocity_loss(
                 sched, model_fn, x0, t, n_rng,
@@ -92,12 +104,13 @@ def make_loss_fn(
                 y = jnp.where(drop, null_label, y)
 
             def model_fn(x, tt):
-                return model_apply(params, x, tt, y, **tk)
+                return model_apply(params, x, tt, y, **apply_kw)
 
             mask = batch.mask if use_mask else None
             return process.v4_training_loss(
                 sched, model_fn, x0, t, n_rng,
                 predict_x0=not predict_epsilon, mask=mask,
+                t_weights=t_weights,
             )
         raise ValueError(f"unknown loss kind {kind!r}")
 
@@ -115,6 +128,31 @@ def make_train_step(tx: optax.GradientTransformation, loss_fn: LossFn):
         )
         new_state = state.apply_gradients(grads, tx)
         return new_state, loss, info
+
+    return step
+
+
+def make_train_step_loss_aware(tx: optax.GradientTransformation, loss_fn: LossFn):
+    """Update step with the loss-aware timestep sampler in the loop:
+    t drawn from the second-moment distribution, importance-weighted loss,
+    ring buffer updated with this step's per-sample losses — all inside one
+    jitted program (the live version of the reference's dead
+    LossSecondMomentResampler, resample.py:124-153)."""
+    from ..diffusion import timestep_sampling as ts
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(state: TrainState, sampler_state, batch, rng):
+        t_rng, loss_rng = jax.random.split(rng)
+        bsz = batch.trajectories.shape[0]
+        t, w = ts.loss_aware_timesteps(sampler_state, t_rng, bsz)
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, loss_rng, t=t, t_weights=w
+        )
+        sampler_state = ts.update_with_losses(
+            sampler_state, t, info["per_sample_loss"]
+        )
+        new_state = state.apply_gradients(grads, tx)
+        return new_state, sampler_state, loss, info
 
     return step
 
@@ -138,6 +176,35 @@ def make_train_many(tx: optax.GradientTransformation, loss_fn: LossFn):
 
         (state, _), losses = jax.lax.scan(body, (state, rng), batches)
         return state, losses
+
+    return steps
+
+
+def make_train_many_loss_aware(tx: optax.GradientTransformation, loss_fn: LossFn):
+    """Scanned variant of the loss-aware step: the sampler's ring buffer is
+    part of the scan carry, so K updates (draw t -> weighted loss -> record
+    losses) run in one compiled program."""
+    from ..diffusion import timestep_sampling as ts
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def steps(state: TrainState, sampler_state, batches, rng):
+        def body(carry, batch):
+            state, sstate, rng = carry
+            rng, t_rng, step_rng = jax.random.split(rng, 3)
+            t, w = ts.loss_aware_timesteps(
+                sstate, t_rng, batch.trajectories.shape[0]
+            )
+            (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, step_rng, t=t, t_weights=w
+            )
+            sstate = ts.update_with_losses(sstate, t, info["per_sample_loss"])
+            state = state.apply_gradients(grads, tx)
+            return (state, sstate, rng), loss
+
+        (state, sampler_state, _), losses = jax.lax.scan(
+            body, (state, sampler_state, rng), batches
+        )
+        return state, sampler_state, losses
 
     return steps
 
@@ -176,6 +243,7 @@ class Trainer:
         checkpointer=None,
         log_fn=print,
         wrap_accum: bool = True,
+        sampler_state=None,
     ):
         if wrap_accum and config.gradient_accumulate_every > 1:
             k = config.gradient_accumulate_every
@@ -190,8 +258,18 @@ class Trainer:
             state = TrainState.create(state.params, tx, ema)
         self.tx = tx
         self.state = state
-        self.step_fn = make_train_step(tx, loss_fn)
-        self.many_fn = make_train_many(tx, loss_fn) if config.scan_chunk > 1 else None
+        # loss-aware timestep sampling (resample.py:124-153): pass a
+        # LossSecondMomentState to activate; uniform otherwise
+        self.sampler_state = sampler_state
+        if sampler_state is not None:
+            self.step_fn = make_train_step_loss_aware(tx, loss_fn)
+            self.many_fn = (
+                make_train_many_loss_aware(tx, loss_fn)
+                if config.scan_chunk > 1 else None
+            )
+        else:
+            self.step_fn = make_train_step(tx, loss_fn)
+            self.many_fn = make_train_many(tx, loss_fn) if config.scan_chunk > 1 else None
         self.dataset = dataset
         self.config = config
         self._has_shard = shard_fn is not None
@@ -217,7 +295,12 @@ class Trainer:
         for i in range(micro):
             rng, step_rng = jax.random.split(rng)
             batch = self.shard_fn(next(batches))
-            self.state, loss, info = self.step_fn(self.state, batch, step_rng)
+            if self.sampler_state is not None:
+                self.state, self.sampler_state, loss, info = self.step_fn(
+                    self.state, self.sampler_state, batch, step_rng
+                )
+            else:
+                self.state, loss, info = self.step_fn(self.state, batch, step_rng)
             # state.step counts micro-steps under MultiSteps; report/compare
             # in optimizer steps (the reference's unit)
             opt_step = int(self.state.step) // accum
@@ -226,7 +309,8 @@ class Trainer:
                 dt = time.time() - t0
                 rec = {"step": opt_step, "loss": loss_v,
                        "steps_per_s": (i + 1) / dt,
-                       **{k: float(v) for k, v in info.items()}}
+                       **{k: float(v) for k, v in info.items()
+                          if jnp.ndim(v) == 0}}
                 self.metrics.append(rec)
                 self.log_fn(
                     f"step {opt_step}: loss {loss_v:.6f} "
@@ -288,7 +372,12 @@ class Trainer:
             k = min(K, micro - done)
             rng, chunk_rng = jax.random.split(rng)
             # a ragged tail chunk (k != K) just retraces many_fn once
-            self.state, losses = self.many_fn(self.state, staged, chunk_rng)
+            if self.sampler_state is not None:
+                self.state, self.sampler_state, losses = self.many_fn(
+                    self.state, self.sampler_state, staged, chunk_rng
+                )
+            else:
+                self.state, losses = self.many_fn(self.state, staged, chunk_rng)
             done += k
             # stage the NEXT chunk while the device runs this one (jax
             # dispatch is async; the float() below is the sync point)

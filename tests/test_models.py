@@ -158,3 +158,93 @@ def test_temporal_unet_time_dependence():
     a = m.apply(params, x, jnp.array([0.0]))
     b = m.apply(params, x, jnp.array([40.0]))
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+
+def test_hyper_connections_init_equals_plain_residual():
+    """At init the dynamic HC terms are zero and static terms are identity,
+    so the 4-stream model == the plain-residual model (sum of S identical
+    streams is absorbed by the scale-invariant final LayerNorm)."""
+    kw = dict(input_dim=12, max_seq_len=32, dim=32, depth=2, heads=2,
+              dim_head=8, window_size=8)
+    m4 = la.LocalTransformer(**kw, num_residual_streams=4)
+    m1 = la.LocalTransformer(**kw, num_residual_streams=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 24, 12)), jnp.float32)
+    t = jnp.array([3, 7])
+    p4 = m4.init(jax.random.PRNGKey(0), x, t)
+    p1 = {"params": {k: v for k, v in p4["params"].items()
+                     if not k.startswith("hc_")}}
+    out4 = m4.apply(p4, x, t)
+    out1 = m1.apply(p1, x, t)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(out1), atol=2e-5)
+    # and the HC params exist with the documented shapes
+    hc = p4["params"]["hc_attn_0"]
+    assert hc["static_alpha"].shape == (4, 5)
+    assert hc["static_beta"].shape == (4,)
+    assert hc["dynamic_alpha_fn"].shape == (32, 5)
+
+
+def test_hyper_connections_gradients_flow():
+    """Every HC parameter gets a nonzero (or at least defined) gradient."""
+    m = la.LocalTransformer(input_dim=6, max_seq_len=16, dim=16, depth=1,
+                            heads=2, dim_head=8, window_size=4,
+                            num_residual_streams=4)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 16, 6)), jnp.float32)
+    t = jnp.array([3, 7])
+    params = m.init(jax.random.PRNGKey(0), x, t)
+
+    def loss(p):
+        return (m.apply(p, x, t) ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g["params"]["hc_attn_0"])
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # static alpha mixes the streams the branch reads -> must receive grads
+    assert np.abs(np.asarray(g["params"]["hc_attn_0"]["static_alpha"])).max() > 0
+
+
+def test_local_transformer_dropout_active_and_deterministic():
+    m = la.LocalTransformer(input_dim=8, max_seq_len=32, dim=32, depth=2,
+                            heads=2, dim_head=8, window_size=8,
+                            num_residual_streams=1,
+                            attn_dropout=0.3, ff_dropout=0.3)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 24, 8)), jnp.float32)
+    t = jnp.array([1, 2])
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    det = m.apply(params, x, t)
+    a = m.apply(params, x, t, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(1)})
+    b = m.apply(params, x, t, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(2)})
+    det2 = m.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(det), np.asarray(det2))
+    assert np.abs(np.asarray(a) - np.asarray(det)).max() > 1e-4
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+
+def test_dynamic_position_bias_option():
+    """DPB replaces rotary; table shape (2w, heads); bias params train."""
+    m = la.LocalTransformer(input_dim=8, max_seq_len=32, dim=32, depth=1,
+                            heads=2, dim_head=8, window_size=8,
+                            num_residual_streams=1,
+                            use_dynamic_pos_bias=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 24, 8)), jnp.float32)
+    t = jnp.array([5])
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    assert "dynamic_pos_bias" in params["params"]
+    out = m.apply(params, x, t)
+    assert out.shape == (1, 24, 8)
+
+    # zeroing the last DPB layer's effect changes the output (bias is live)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    for k in list(flat):
+        if k[0] == "dynamic_pos_bias" and k[-1] in ("kernel", "bias"):
+            flat[k] = jnp.zeros_like(flat[k]) + (0.5 if k[-1] == "bias" else 0.1)
+    p2 = {"params": flax.traverse_util.unflatten_dict(flat)}
+    out2 = m.apply(p2, x, t)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-5

@@ -233,3 +233,94 @@ def test_scanned_trainer_matches_semantics():
     trainer.train()
     assert int(trainer.state.step) == 50
     assert trainer.metrics[-1]["loss"] < trainer.metrics[0]["loss"]
+
+
+def test_loss_aware_timestep_sampler_in_trainer():
+    """timestep_sampler=loss_aware: the (T, history) ring buffer fills
+    during training and the run still learns (VERDICT round-1 weak #6)."""
+    from deepmimic_diffusion_mujoco_tpu.diffusion.timestep_sampling import (
+        LossSecondMomentState,
+    )
+
+    cfg, model, sched = _tiny_setup()
+    ds = MotionDataset.from_path(WALK, augment="cyclic_rooted")
+    x = jnp.zeros((2, ds.horizon, 69))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+    tx = make_optimizer("adamw", lr=1e-3)
+    state = TrainState.create(params, tx, EMAConfig(start=10_000))
+    loss_fn = make_loss_fn(
+        sched, model.apply, kind="v4", predict_epsilon=False,
+        null_label=9, use_mask=True,
+    )
+    trainer = Trainer(
+        state, tx, loss_fn, ds,
+        TrainerConfig(num_train_steps=60, batch_size=8, log_every=20),
+        log_fn=lambda *_: None,
+        sampler_state=LossSecondMomentState.create(sched.num_timesteps),
+    )
+    trainer.train()
+    counts = np.asarray(trainer.sampler_state.counts)
+    # 60 steps x 8 samples over 20 timesteps: the buffer must be filling
+    assert counts.sum() > 0
+    assert counts.max() <= trainer.sampler_state.losses.shape[1]
+    assert (np.asarray(trainer.sampler_state.losses) != 0).any()
+    first, last = trainer.metrics[0]["loss"], trainer.metrics[-1]["loss"]
+    assert last < first, (first, last)
+
+
+def test_loss_aware_sampler_scanned_matches_filling():
+    """Scanned trainer with the loss-aware sampler: carry threads the ring
+    buffer through lax.scan."""
+    from deepmimic_diffusion_mujoco_tpu.diffusion.timestep_sampling import (
+        LossSecondMomentState,
+    )
+
+    cfg, model, sched = _tiny_setup()
+    ds = MotionDataset.from_path(WALK, augment="cyclic_rooted")
+    x = jnp.zeros((2, ds.horizon, 69))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+    tx = make_optimizer("adamw", lr=1e-3)
+    state = TrainState.create(params, tx, EMAConfig(start=10_000))
+    loss_fn = make_loss_fn(
+        sched, model.apply, kind="v4", predict_epsilon=False,
+        null_label=9, use_mask=True,
+    )
+    trainer = Trainer(
+        state, tx, loss_fn, ds,
+        TrainerConfig(num_train_steps=24, batch_size=8, log_every=8,
+                      scan_chunk=8),
+        log_fn=lambda *_: None,
+        sampler_state=LossSecondMomentState.create(sched.num_timesteps),
+    )
+    trainer.train()
+    assert np.asarray(trainer.sampler_state.counts).sum() > 0
+
+
+def test_dropout_active_in_training_loss():
+    """make_loss_fn(dropout=True) applies the model non-deterministically:
+    two different rngs give different losses; dropout=False is reproducible."""
+    cfg, model, sched = _tiny_setup()
+    rng = np.random.default_rng(0)
+    from deepmimic_diffusion_mujoco_tpu.data.datasets import Batch
+
+    batch = Batch(
+        trajectories=rng.normal(size=(4, 32, 69)).astype(np.float32),
+        motion_class=np.zeros(4, np.int32),
+        mask=np.ones((4, 32), np.float32),
+        cond_frame=np.zeros((4, 69), np.float32),
+    )
+    x = jnp.zeros((2, 32, 69))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+    lf_drop = make_loss_fn(sched, model.apply, kind="v4",
+                           predict_epsilon=False, null_label=9, dropout=True)
+    lf_det = make_loss_fn(sched, model.apply, kind="v4",
+                          predict_epsilon=False, null_label=9, dropout=False)
+    # same rng -> the t/noise draws agree; only dropout masks differ between
+    # the dropout and deterministic losses
+    l1, _ = lf_drop(params, batch, jax.random.PRNGKey(1))
+    l2, _ = lf_drop(params, batch, jax.random.PRNGKey(2))
+    d1, _ = lf_det(params, batch, jax.random.PRNGKey(1))
+    d1b, _ = lf_det(params, batch, jax.random.PRNGKey(1))
+    assert float(d1) == float(d1b)
+    assert abs(float(l1) - float(d1)) > 1e-7
+    assert abs(float(l1) - float(l2)) > 1e-9
