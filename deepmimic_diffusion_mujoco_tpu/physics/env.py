@@ -13,13 +13,12 @@ Two modes:
 
 - KinematicEnv: `step` advances the mocap frame (wraparound + root-xy phase
   carry) and runs FK — the playback/eval path, exact vs the MuJoCo oracle.
-- PDPhysicsEnv: semi-implicit Euler on joint coordinates with DeepMimic PD
-  actuators toward a target pose, per-DOF diagonal inertia approximation,
-  viscous damping, gravity on the root, and a ground clamp. This is an
-  APPROXIMATE dynamics model (documented; the reference has no forward
-  dynamics at all — mj_step is never called, README.md:46 admits playback
-  is "not physically accurate"), intended for reward-shaping experiments;
-  tracking-reward numbers are validated statistically, not bitwise.
+- PhysicsTrackingEnv: the DeepMimic imitation loop on the real rigid-body
+  engine (dynamics.py — mass-matrix/bias parity vs MuJoCo at ~1e-13,
+  penalty ground contact): stable PD torques toward the next mocap frame,
+  tracking reward, fall termination. The reference itself has no forward
+  dynamics at all (mj_step is never called; README.md:46 admits playback
+  is "not physically accurate") — this mode exceeds it.
 """
 from __future__ import annotations
 
@@ -34,9 +33,7 @@ from ..data.skeleton import (
     BODY_JOINTS,
     DOF_DEF,
     JOINT_WEIGHT,
-    PARAMS_KP_KD,
     QPOS_JOINT_SLICES,
-    QPOS_DIM,
     QVEL_DIM,
 )
 from .kinematics import (
@@ -161,56 +158,69 @@ class KinematicEnv:
 
 
 # ---------------------------------------------------------------------------
-# PD physics env (approximate forward dynamics)
+# Physics tracking env (real forward dynamics + DeepMimic imitation loop)
 # ---------------------------------------------------------------------------
 
-_KP = np.zeros((QPOS_DIM,), np.float32)
-_KD = np.zeros((QVEL_DIM,), np.float32)
-for _j in BODY_JOINTS:
-    _kp, _kd = PARAMS_KP_KD[_j]
-    _KP[QPOS_JOINT_SLICES[_j]] = _kp
-    _s = QPOS_JOINT_SLICES[_j]
-    _KD[_s.start - 1 : _s.stop - 1] = _kd  # qvel index = qpos index - 1
+
+class PhysicsState(NamedTuple):
+    frame: jnp.ndarray  # (N,) int32 target mocap frame
+    qpos: jnp.ndarray   # (N, 35)
+    qvel: jnp.ndarray   # (N, 34)
+    done: jnp.ndarray   # (N,) bool — fell (root below threshold)
 
 
-class PDPhysicsEnv:
-    """Joint-space semi-implicit Euler with DeepMimic PD gains.
+class PhysicsTrackingEnv:
+    """DeepMimic-style imitation env on the real rigid-body engine
+    (dynamics.py): each 30 Hz control step applies stable PD torques toward
+    the next mocap frame, integrates `substeps` implicitly-damped
+    semi-implicit Euler substeps with ground contact, and scores the
+    DeepMimic tracking reward vs the reference frame. Fall detection
+    terminates an instance when the root drops below `fall_height`
+    (done instances hold their state; rewards gate to 0)."""
 
-    qacc_j = (kp*(target - q) - kd*qdot) / I_j - damping*qdot; root gets
-    gravity + a ground clamp at the spec's standing height. Diagonal
-    inertia I_j is a documented approximation (see module docstring).
-    """
+    def __init__(self, qpos_clip: np.ndarray, qvel_clip: np.ndarray | None = None,
+                 dt: float = 1.0 / 30.0, substeps: int = 17,
+                 kp_scale: float = 1.0, kd_scale: float = 1.0,
+                 fall_height: float = 0.3):
+        from .dynamics import DynamicsEnv
 
-    def __init__(self, dt: float = 1.0 / 30.0, substeps: int = 15,
-                 inertia: float = 4.0, damping: float = 2.0):
-        self.dt = dt
-        self.substeps = substeps
-        self.h = dt / substeps
-        self.inertia = inertia
-        self.damping = damping
+        self.motion = jnp.asarray(qpos_clip, jnp.float32)
+        self.vel = (
+            jnp.asarray(qvel_clip, jnp.float32)
+            if qvel_clip is not None
+            else jnp.zeros((qpos_clip.shape[0], QVEL_DIM), jnp.float32)
+        )
+        self.num_frames = self.motion.shape[0]
+        self.fall_height = fall_height
+        self.engine = DynamicsEnv(
+            dt=dt, substeps=substeps, kp_scale=kp_scale, kd_scale=kd_scale
+        )
+
+    def reset(self, n: int, stagger: bool = True) -> PhysicsState:
+        frame = (
+            (jnp.arange(n) * self.num_frames // max(n, 1)) % self.num_frames
+            if stagger
+            else jnp.zeros((n,), jnp.int32)
+        ).astype(jnp.int32)
+        return PhysicsState(
+            frame=frame,
+            qpos=self.motion[frame],
+            qvel=self.vel[frame],
+            done=jnp.zeros((n,), bool),
+        )
 
     @partial(jax.jit, static_argnums=0)
-    def step(self, qpos, qvel, target_qpos):
-        kp = jnp.asarray(_KP)[7:]
-        kd = jnp.asarray(_KD)[6:]
-
-        def sub(carry, _):
-            qp, qv = carry
-            tau = kp * (target_qpos[..., 7:] - qp[..., 7:]) - kd * qv[..., 6:]
-            qacc = tau / self.inertia - self.damping * qv[..., 6:]
-            qv_j = qv[..., 6:] + self.h * qacc
-            # root: gravity, no actuation (free joint)
-            root_lin = qv[..., 0:3] + self.h * jnp.asarray([0.0, 0.0, -9.81])
-            qv = jnp.concatenate([root_lin, qv[..., 3:6], qv_j], -1)
-            root_pos = qp[..., 0:3] + self.h * qv[..., 0:3]
-            # ground clamp: keep the pelvis above standing height * 0.4
-            floor = 0.4
-            hit = root_pos[..., 2] < floor
-            root_pos = root_pos.at[..., 2].set(jnp.maximum(root_pos[..., 2], floor))
-            qv = qv.at[..., 2].set(jnp.where(hit, 0.0, qv[..., 2]))
-            joints = qp[..., 7:] + self.h * qv[..., 6:]
-            qp = jnp.concatenate([root_pos, qp[..., 3:7], joints], -1)
-            return (qp, qv), None
-
-        (qpos, qvel), _ = jax.lax.scan(sub, (qpos, qvel), None, length=self.substeps)
-        return qpos, qvel
+    def step(self, state: PhysicsState):
+        """PD toward the NEXT mocap frame, integrate, reward vs that frame.
+        Returns (state, reward)."""
+        nxt = jnp.where(state.frame + 1 >= self.num_frames, 0, state.frame + 1)
+        target = self.motion[nxt]
+        qpos, qvel = self.engine.step(state.qpos, state.qvel, target)
+        # frozen once fallen
+        qpos = jnp.where(state.done[:, None], state.qpos, qpos)
+        qvel = jnp.where(state.done[:, None], state.qvel, qvel)
+        reward = tracking_reward(qpos, qvel, target, self.vel[nxt])
+        fell = qpos[:, 2] < self.fall_height
+        done = state.done | fell
+        reward = jnp.where(done, 0.0, reward)
+        return PhysicsState(nxt, qpos, qvel, done), reward

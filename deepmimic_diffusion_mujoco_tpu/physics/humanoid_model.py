@@ -127,9 +127,20 @@ assert tuple(_tree_joints) == tuple(BODY_JOINTS)
 assert all(len(b.joints) == DOF_DEF[b.name] for b in BODIES[1:])
 
 
+# joint dynamics defaults from the reference model (dp_env_v2.xml:4):
+# every hinge carries armature 0.02, damping 5, stiffness 10; the free root
+# has none (dp_env_v2.xml:25); the floor has friction "1 .1 .1" (line 19)
+JOINT_ARMATURE = 0.02
+JOINT_DAMPING = 5.0
+JOINT_STIFFNESS = 10.0
+FLOOR_FRICTION = 1.0
+GRAVITY = 9.81
+
+
 def to_xml(timestep: float = 0.002) -> str:
     """Generate a MuJoCo XML equivalent of the spec (radians, explicit
-    masses) for the host-side player and the FK parity oracle."""
+    masses, reference joint-dynamics defaults) for the host-side player,
+    the FK parity oracle and the forward-dynamics oracle tests."""
 
     def geom_xml(b: Body, g: Geom, i: int) -> str:
         name = f"{b.name}_g{i}"
@@ -154,7 +165,9 @@ def to_xml(timestep: float = 0.002) -> str:
             lo, hi = (np.deg2rad(j.range_deg[0]), np.deg2rad(j.range_deg[1]))
             lines.append(
                 f'{indent}  <joint name="{b.name}_{k}" type="hinge" axis="{ax}" '
-                f'pos="{jp}" range="{lo} {hi}"/>'
+                f'pos="{jp}" range="{lo} {hi}" limited="true" '
+                f'armature="{JOINT_ARMATURE}" damping="{JOINT_DAMPING}" '
+                f'stiffness="{JOINT_STIFFNESS}"/>'
             )
         for i, g in enumerate(b.geoms):
             lines.append(indent + "  " + geom_xml(b, g, i))
@@ -168,7 +181,7 @@ def to_xml(timestep: float = 0.002) -> str:
   <compiler angle="radian" inertiafromgeom="true"/>
   <option timestep="{timestep}"/>
   <worldbody>
-    <geom name="floor" type="plane" size="20 20 0.125" condim="3"/>
+    <geom name="floor" type="plane" size="20 20 0.125" condim="3" friction="{FLOOR_FRICTION} .1 .1"/>
 {body_xml("root", "    ")}
   </worldbody>
 </mujoco>

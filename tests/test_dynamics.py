@@ -1,0 +1,178 @@
+"""Forward dynamics vs the MuJoCo C engine.
+
+Smooth dynamics (mass matrix, bias forces, qacc, flight-phase trajectories)
+must agree to machine precision in float64; the contact phase is solver-
+dependent (MuJoCo: PGS constraint solver; ours: implicitly-damped penalty)
+so standing-balance agreement is statistical (COM bound over 0.5 s),
+matching VERDICT round-1 item 1's acceptance criteria.
+"""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from deepmimic_diffusion_mujoco_tpu.data.mocap import load_clip
+from deepmimic_diffusion_mujoco_tpu.physics import dynamics as dyn
+from deepmimic_diffusion_mujoco_tpu.physics import env as envlib
+from deepmimic_diffusion_mujoco_tpu.physics.humanoid_model import to_xml
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data", "motions")
+WALK = os.path.join(DATA, "humanoid3d_walk.txt")
+
+mujoco = pytest.importorskip("mujoco")
+
+
+@pytest.fixture(scope="module")
+def walk_qpos():
+    return np.asarray(load_clip(WALK).qpos, np.float64)
+
+
+@pytest.fixture(scope="module")
+def mj_model():
+    return mujoco.MjModel.from_xml_string(to_xml())
+
+
+def _smooth_oracle(mj_model, qpos, qvel, tau):
+    """mj_forward with the constraint solver disabled (we model limits and
+    contacts as penalties; the smooth parity check excludes both)."""
+    model = mujoco.MjModel.from_xml_string(to_xml())
+    model.opt.disableflags |= mujoco.mjtDisableBit.mjDSBL_CONSTRAINT
+    data = mujoco.MjData(model)
+    data.qpos[:] = qpos
+    data.qvel[:] = qvel
+    data.qfrc_applied[:] = tau
+    mujoco.mj_forward(model, data)
+    M = np.zeros((model.nv, model.nv))
+    mujoco.mj_fullM(model, data, M)
+    return M, data.qfrc_bias.copy(), data.qacc.copy()
+
+
+def test_smooth_dynamics_machine_exact(mj_model, walk_qpos):
+    """M, bias, and qacc match mj_forward to ~1e-10 in float64 on perturbed
+    mocap poses with random velocities/torques."""
+    rng = np.random.default_rng(0)
+    with jax.enable_x64(True):
+        for fi in (0, 11, 27):
+            qpos = walk_qpos[fi].copy()
+            qvel = rng.normal(size=34)
+            tau = np.concatenate([np.zeros(6), rng.normal(size=28) * 20])
+            M_mj, bias_mj, qacc_mj = _smooth_oracle(mj_model, qpos, qvel, tau)
+
+            fk = dyn.fk_dynamics(jnp.asarray(qpos))
+            M = np.asarray(dyn.mass_matrix(fk))
+            np.testing.assert_allclose(M, M_mj, atol=1e-10)
+
+            bias = np.asarray(dyn.bias_forces(jnp.asarray(qpos), jnp.asarray(qvel)))
+            np.testing.assert_allclose(bias, bias_mj, atol=1e-9)
+
+            qacc = np.asarray(dyn.forward_dynamics(
+                jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(tau),
+                contacts=False, limits=False))
+            np.testing.assert_allclose(qacc, qacc_mj, atol=1e-7)
+
+
+def test_flight_trajectory_matches_mj_step(walk_qpos):
+    """Ballistic tumbling (no contact): 150 Euler steps at h=0.002 agree
+    with mj_step to ~1e-12 — integrator + free-joint quaternion convention
+    are identical."""
+    model = mujoco.MjModel.from_xml_string(to_xml())
+    model.opt.disableflags |= mujoco.mjtDisableBit.mjDSBL_CONSTRAINT
+    data = mujoco.MjData(model)
+    qpos = walk_qpos[3].copy()
+    qpos[2] += 1.0
+    qvel = np.zeros(34)
+    qvel[0:3] = [0.2, 0.1, 0.5]
+    qvel[3:6] = [0.5, -0.3, 0.8]
+    data.qpos[:] = qpos
+    data.qvel[:] = qvel
+
+    with jax.enable_x64(True):
+        jq, jv = jnp.asarray(qpos), jnp.asarray(qvel)
+        tau0 = jnp.zeros(34, jnp.float64)
+        step = jax.jit(lambda a, b: dyn.step_physics(
+            a, b, tau0, 0.002, contacts=False, limits=False))
+        for _ in range(150):
+            mujoco.mj_step(model, data)
+            jq, jv = step(jq, jv)
+        np.testing.assert_allclose(np.asarray(jq), data.qpos, atol=1e-10)
+
+
+def test_standing_pd_contact_statistical(walk_qpos):
+    """Standing balance under DeepMimic PD with ground contact: COM stays
+    within 5 cm of MuJoCo over 0.5 s (solvers differ; bound is
+    statistical). MuJoCo oracle folds the PD kd into dof_damping so its
+    Euler integrator also treats it implicitly."""
+    kp = np.asarray(dyn.PD_KP, np.float64)
+    kd = np.asarray(dyn.PD_KD, np.float64)
+    q0 = walk_qpos[3]
+    model = mujoco.MjModel.from_xml_string(to_xml())
+    model.dof_damping[6:] += kd
+    data = mujoco.MjData(model)
+    data.qpos[:] = q0
+    mass = np.asarray(dyn.BODY_MASS)
+
+    with jax.enable_x64(True):
+        jq = jnp.asarray(q0)
+        jv = jnp.zeros(34, jnp.float64)
+        target = jnp.asarray(q0)
+        kd_j = jnp.asarray(kd)
+
+        @jax.jit
+        def step_pd(qp, qv):
+            tau = dyn.pd_torques(qp, qv, target)
+            return dyn.step_physics(qp, qv, tau, 0.002, kd_extra=kd_j)
+
+        for i in range(250):
+            data.qfrc_applied[6:] = kp * (np.asarray(q0)[7:] - data.qpos[7:])
+            mujoco.mj_step(model, data)
+            jq, jv = step_pd(jq, jv)
+        fk = dyn.fk_dynamics(jq)
+        com_j = (mass[:, None] * np.asarray(fk.com_w)).sum(0) / mass.sum()
+        mujoco.mj_forward(model, data)
+        com_mj = np.asarray(data.subtree_com[0])
+    assert np.linalg.norm(com_j - com_mj) < 0.05
+    # neither sim fell or exploded
+    assert 0.7 < float(jq[2]) < 1.1
+    assert 0.7 < data.qpos[2] < 1.1
+
+
+def test_physics_tracking_env_walks():
+    """PhysicsTrackingEnv: PD-tracking the walk clip on the real engine is
+    stable and keeps a healthy DeepMimic reward for the first half-second.
+    (Open-loop PD toward mocap targets has no balance feedback — characters
+    legitimately topple after ~0.7 s, which is exactly why DeepMimic trains
+    an RL policy on top of this reward; the env's job is stable dynamics +
+    correct reward/termination bookkeeping.)"""
+    clip = load_clip(WALK)
+    env = envlib.PhysicsTrackingEnv(clip.qpos, clip.qvel)
+    state = env.reset(4, stagger=True)
+    rewards = []
+    for _ in range(15):
+        state, r = env.step(state)
+        rewards.append(np.asarray(r))
+    rewards = np.stack(rewards)
+    assert np.isfinite(np.asarray(state.qpos)).all()
+    assert not bool(state.done.any())
+    assert rewards.mean() > 0.6, rewards.mean(1)
+    # termination bookkeeping: run on — fallen instances freeze at reward 0
+    for _ in range(30):
+        state, r = env.step(state)
+    assert bool(state.done.any())
+    assert np.isfinite(np.asarray(state.qpos)).all()
+    done = np.asarray(state.done)
+    assert (np.asarray(r)[done] == 0.0).all()
+
+
+def test_dynamics_env_batched_matches_single():
+    """Vectorized stepping is exactly per-instance stepping."""
+    clip = load_clip(WALK)
+    q = jnp.asarray(clip.qpos[:3], jnp.float32)
+    v = jnp.asarray(clip.qvel[:3], jnp.float32)
+    tgt = jnp.asarray(clip.qpos[1:4], jnp.float32)
+    eng = dyn.DynamicsEnv(substeps=4)
+    qb, vb = eng.step(q, v, tgt)
+    for i in range(3):
+        qi, vi = eng.step(q[i : i + 1], v[i : i + 1], tgt[i : i + 1])
+        np.testing.assert_allclose(np.asarray(qb[i]), np.asarray(qi[0]), atol=2e-5)
