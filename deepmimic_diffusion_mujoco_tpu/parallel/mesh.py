@@ -30,18 +30,25 @@ def initialize_multihost(
     backend"): call once per host before building the mesh; afterwards
     jax.devices() spans the pod slice and the same mesh/sharding code runs
     unchanged. No-op when already initialized or single-process with no
-    coordinator configured."""
-    if jax.process_count() > 1:
+    coordinator configured.
+
+    NOTE: must run before anything touches a backend — even
+    jax.process_count() initializes one, after which distributed.initialize
+    raises. So the already-initialized check reads the distributed client
+    state directly instead of calling backend-touching APIs."""
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        # single-process run with no coordinator configured: nothing to do
+        # (jax.distributed.initialize would try env-based auto-detection)
         return
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (ValueError, RuntimeError):
-        # single-process environment without coordinator config
-        pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_mesh(
@@ -85,7 +92,11 @@ def shard_batch(mesh: Mesh, batch):
     def put(x):
         x = np.asarray(x)
         if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(sh, x)
+            # every process contributes an equal slice of the batch axis;
+            # global_shape must be explicit — otherwise the helper treats the
+            # local slice as the whole array
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)

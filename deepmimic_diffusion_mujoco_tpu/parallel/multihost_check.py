@@ -1,0 +1,119 @@
+"""Multi-process execution check: one real train step across processes.
+
+The reference is strictly single-process (SURVEY.md section 2.10); this
+harness proves the multi-host code path (parallel/mesh.py:
+initialize_multihost + make_array_from_process_local_data) actually
+executes: every process builds the global ('data','seq') mesh, feeds its
+LOCAL slice of a deterministic global batch, and runs ONE jitted training
+step of the flagship U-Net diffusion loss. The printed loss and post-step
+parameter checksum must be bitwise-identical across processes and equal
+(to float32 tolerance) to a single-process run of the same global batch —
+which is exactly the SPMD contract.
+
+Run (per host/process):
+
+    python -m deepmimic_diffusion_mujoco_tpu.parallel.multihost_check \
+        --coordinator 127.0.0.1:29580 --num-processes 2 --process-id 0
+
+or single-process (the oracle): no flags. tests/test_multihost.py drives
+both modes and asserts equality; on real multi-host TPU hardware the same
+command with the pod's coordinator address is the entire launch procedure.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def run_check(coordinator: str | None, num_processes: int, process_id: int,
+              batch_size: int = 16, horizon: int = 16) -> dict:
+    from . import mesh as meshlib
+
+    if num_processes > 1:
+        meshlib.initialize_multihost(coordinator, num_processes, process_id)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from ..diffusion import process, schedules
+    from ..models.temporal_unet import TemporalUnet
+    from ..train.loop import make_train_step
+    from ..train.state import TrainState, make_optimizer
+
+    mesh = meshlib.make_mesh()
+    repl = meshlib.replicated(mesh)
+
+    sched = schedules.make_schedule("cosine", 100, convention="diffuser")
+    model = TemporalUnet(transition_dim=35, dim=32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, horizon, 35)), jnp.zeros((2,))
+    )
+    # replicate across every process's devices (identical init per process:
+    # same seed, same program)
+    params = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_callback(
+            x.shape, repl, lambda idx: np.asarray(x)[idx]
+        ),
+        params,
+    )
+
+    # deterministic GLOBAL batch; this process feeds rows
+    # [pid*B/np, (pid+1)*B/np)
+    global_x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (batch_size, horizon, 35))
+    )
+    per = batch_size // num_processes
+    local = global_x[process_id * per : (process_id + 1) * per]
+
+    from typing import NamedTuple
+
+    class Batch(NamedTuple):
+        trajectories: object
+
+    batch = Batch(**meshlib.shard_batch(mesh, {"trajectories": local}))
+
+    weights = process.diffuser_loss_weights(horizon, 35)
+
+    def loss_fn(p, b, rng):
+        t = jax.random.randint(
+            jax.random.PRNGKey(3), (batch_size,), 0, sched.num_timesteps
+        )
+        return process.diffuser_p_losses(
+            sched, lambda xx, tt: model.apply(p, xx, tt),
+            b.trajectories, t, jax.random.PRNGKey(5), weights,
+            predict_epsilon=True, loss_kind="l2",
+        )
+
+    tx = make_optimizer("adam", lr=1e-3)
+    state = TrainState.create(params, tx)
+    step = make_train_step(tx, loss_fn)
+    state, loss, _ = step(state, batch, jax.random.PRNGKey(9))
+    checksum = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x).astype(jnp.float64))),
+        state.params, 0.0,
+    )
+    return {
+        "process_id": process_id,
+        "process_count": int(jax.process_count()),
+        "global_devices": len(jax.devices()),
+        "loss": float(loss),
+        "param_checksum": checksum,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    args = ap.parse_args()
+    print(json.dumps(run_check(args.coordinator, args.num_processes,
+                               args.process_id)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Multi-PROCESS execution of the training step (VERDICT round-1 item 3).
+
+Launches two real OS processes that jax.distributed.initialize over a
+localhost coordinator (Gloo CPU collectives), build the global mesh, feed
+per-process local batch shards through make_array_from_process_local_data,
+and run one jitted train step — then asserts both processes agree with each
+other bitwise and with a single-process run of the same global batch to
+float32 tolerance. This is the same launch procedure a real TPU pod uses
+(one process per host), so the multi-host branch is exercised end to end.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(n_local_devices: int) -> dict:
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # skip TPU registration in child
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local_devices}"
+    return env
+
+
+def _launch(args, n_local_devices):
+    return subprocess.Popen(
+        [sys.executable, "-m",
+         "deepmimic_diffusion_mujoco_tpu.parallel.multihost_check"] + args,
+        cwd=REPO, env=_env(n_local_devices),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+
+
+def test_two_process_train_step_matches_single_process():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    procs = [
+        _launch(["--coordinator", coord, "--num-processes", "2",
+                 "--process-id", str(i)], n_local_devices=4)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert all(o["process_count"] == 2 for o in outs)
+    assert all(o["global_devices"] == 8 for o in outs)
+    # SPMD: replicated outputs identical across processes
+    assert outs[0]["loss"] == outs[1]["loss"]
+    assert outs[0]["param_checksum"] == outs[1]["param_checksum"]
+
+    single = _launch([], n_local_devices=8)
+    out, err = single.communicate(timeout=600)
+    assert single.returncode == 0, err[-3000:]
+    oracle = json.loads(out.strip().splitlines()[-1])
+    assert oracle["process_count"] == 1
+    assert abs(oracle["loss"] - outs[0]["loss"]) < 1e-5
+    assert abs(oracle["param_checksum"] - outs[0]["param_checksum"]) < 1e-3
