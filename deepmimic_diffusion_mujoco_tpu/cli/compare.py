@@ -1,0 +1,112 @@
+"""Multi-checkpoint comparison (the compare_models workflow,
+transformer_inference.py:284-383).
+
+    python -m deepmimic_diffusion_mujoco_tpu.cli.compare \
+        --runs experiments/walk40k,experiments/allclips12k --num 4 \
+        --out comparison/ [--gt data/motions/humanoid3d_walk.txt]
+
+For every run directory: load the checkpoint (architecture autodetected
+from the run's config.json, like the reference's metadata autodetect),
+generate `num` motions, save them under <out>/motions/<run_name>/ with the
+35-dim qpos contract, and record metadata (architecture, checkpoint step,
+best loss). With --gt, also scores each model's samples (SiFID +
+inter-diversity) so the report ranks the checkpoints — which the reference
+left to eyeballing the saved motions. Writes <out>/compare_report.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.sampling import sample_loop
+from .sample import load_run, save_motions
+
+
+def compare(run_dirs, out_dir, num=4, frames=None, ema=False, gt=None,
+            seed=0, class_id=None):
+    os.makedirs(os.path.join(out_dir, "motions"), exist_ok=True)
+    gt_arr = None
+    if gt is not None:
+        from ..data.mocap import load_clip
+
+        gt_arr = load_clip(gt)
+
+    report = {}
+    for run in run_dirs:
+        name = os.path.basename(os.path.normpath(run))
+        cfg, model, sched, state, meta = load_run(run)
+        params = state.ema_params if ema else state.params
+        d = cfg.diffusion
+        H = frames or cfg.model.max_seq_len
+        D = cfg.model.input_dim
+        y = uncond_y = cfg_scale = None
+        if class_id is not None and cfg.model.num_classes:
+            y = jnp.full((num,), class_id, jnp.int32)
+            uncond_y = jnp.full((num,), cfg.model.num_classes, jnp.int32)
+            cfg_scale = d.cfg_scale
+
+        out = sample_loop(
+            sched, lambda x, t, yy: model.apply(params, x, t, yy),
+            (num, H, D), jax.random.PRNGKey(seed),
+            mode=d.mode, predict_epsilon=not d.predict_x0,
+            clip_denoised=d.clip_denoised, cfg_scale=cfg_scale,
+            y=y, uncond_y=uncond_y,
+        )
+        samples = np.asarray(out.trajectories)
+        paths = save_motions(samples, os.path.join(out_dir, "motions", name))
+        entry = {
+            "run": run,
+            "architecture": cfg.model.architecture,
+            "checkpoint_step": int(meta.get("step", -1)) if meta else -1,
+            "best_loss": meta.get("best_loss") if meta else None,
+            "motion_paths": paths,
+            "frames": H,
+        }
+        if gt_arr is not None:
+            from ..eval import metrics as M
+
+            ref = gt_arr.combined() if D == 69 else gt_arr.qpos
+            ref = jnp.asarray(ref[: samples.shape[1], :D], jnp.float32)
+            s = jnp.asarray(samples)
+            entry["sifid"] = float(np.mean(M.sifid(s, ref)))
+            entry["inter_diversity"] = float(M.inter_diversity(s))
+        report[name] = entry
+
+    with open(os.path.join(out_dir, "compare_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--runs", required=True,
+                   help="comma-separated run directories")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num", type=int, default=4)
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--gt", default=None,
+                   help="optional ground-truth clip for SiFID/diversity")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--class-id", type=int, default=None)
+    args = p.parse_args(argv)
+
+    report = compare(
+        [r for r in args.runs.split(",") if r], args.out, num=args.num,
+        frames=args.frames, ema=args.ema, gt=args.gt, seed=args.seed,
+        class_id=args.class_id,
+    )
+    for name, e in report.items():
+        extra = f"  sifid={e['sifid']:.4f}" if "sifid" in e else ""
+        print(f"{name}: step={e['checkpoint_step']} "
+              f"arch={e['architecture']}{extra}")
+    print(os.path.join(args.out, "compare_report.json"))
+
+
+if __name__ == "__main__":
+    main()

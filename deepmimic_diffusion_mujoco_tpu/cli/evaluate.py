@@ -67,12 +67,26 @@ def main(argv=None):
                          replications=args.reps)
     if args.fid:
         from ..data.datasets import MotionDataset
+        from ..diffusion.conditioning import clamp_frame0
 
         ds = MotionDataset.from_path(
             args.gt, include_velocity=(D == 69), augment="cyclic_rooted",
         )
         real = jnp.asarray(ds.trajectories[:, :H, :D])
-        gen = sample_fn(min(args.num, len(ds.trajectories)))
+        n = min(args.num, int(real.shape[0]))
+        # the reference's generated side is conditioned on frame 0 of a
+        # randomly drawn REAL sample (fid_score.py:110-117: cond from
+        # real_dataset[randint], model.sample(cond=...)); mirror that here —
+        # per-sample random draws rather than per-batch, same quantity
+        idx = np.random.default_rng(0).integers(0, real.shape[0], size=n)
+        seed[0] += 1
+        gen = sample_loop(
+            sched, lambda x, t, y: model.apply(params, x, t, y),
+            (n, H, D), jax.random.PRNGKey(seed[0]),
+            mode=d.mode, predict_epsilon=not d.predict_x0,
+            clip_denoised=d.clip_denoised,
+            conditioning_fn=clamp_frame0(real[idx, 0]),
+        ).trajectories
         results["motion_fid"] = {"mean": M.motion_fid(real, gen), "std": 0.0}
     text = json.dumps(results, indent=2)
     print(text)
