@@ -192,12 +192,24 @@ class MotionDataset:
 
     def epochs(self, batch_size: int, seed: int = 0, shuffle: bool = True):
         """Infinite batch iterator (the reference's `cycle(DataLoader)`,
-        diffuser/utils/training.py:11-14)."""
+        diffuser/utils/training.py:11-14).
+
+        Datasets smaller than the batch are oversampled to a full batch
+        (each epoch's order is several concatenated permutations): the
+        reference's DataLoader would emit a short final batch, but short
+        batches are dynamic shapes under jit, so a fixed batch with
+        repeats is the TPU-correct equivalent — without this a small clip
+        with a big batch_size would yield nothing and spin forever.
+        """
         rng = np.random.default_rng(seed)
         n = len(self)
+        reps = max(1, -(-batch_size // n))  # ceil
         while True:
-            order = rng.permutation(n) if shuffle else np.arange(n)
-            for i in range(0, n - batch_size + 1, batch_size):
+            order = np.concatenate([
+                rng.permutation(n) if shuffle else np.arange(n)
+                for _ in range(reps)
+            ])
+            for i in range(0, order.size - batch_size + 1, batch_size):
                 yield self.batch(order[i : i + batch_size])
 
 

@@ -44,6 +44,8 @@ def build_model(cfg: ModelConfig):
             num_residual_streams=cfg.num_residual_streams,
             attn_dropout=cfg.attn_dropout, ff_dropout=cfg.ff_dropout,
             use_dynamic_pos_bias=cfg.use_dynamic_pos_bias,
+            use_global_attn=cfg.use_global_attn,
+            global_attn_layers=tuple(cfg.global_attn_layers),
             num_classes=cfg.num_classes, use_pallas=cfg.use_pallas,
             dtype=dtype,
         )

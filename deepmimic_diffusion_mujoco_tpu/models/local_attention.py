@@ -207,8 +207,6 @@ class LocalMHA(nn.Module):
         h, dh = self.heads, self.dim_head
         normed = nn.LayerNorm(dtype=self.dtype)(x)
         qkv = nn.Dense(3 * h * dh, use_bias=False, dtype=self.dtype)(normed)
-        q, k, v = jnp.split(qkv.reshape(B, N, 3, h, dh).transpose(0, 3, 2, 1, 4), 3, axis=2)
-        q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B, h, N, dh)
         w = window_size if window_size is not None else self.window_size
         dropping = self.attn_dropout > 0.0 and not deterministic
         dropout_rng = self.make_rng("dropout") if dropping else None
@@ -218,16 +216,25 @@ class LocalMHA(nn.Module):
         use_pallas = (
             self.use_pallas and key_mask is None and window_size is None
             and bias_table is None and not dropping and self.use_rotary
+            and not self.use_xpos
         )
         if use_pallas:
-            from ..ops.pallas import local_attention_pallas
+            # round-2 fused kernel: consumes the QKV matmul output in its
+            # natural (B, N, 3*h*dh) layout and emits the context in the
+            # out-projection's input layout — no transposes or per-head
+            # reshapes exist outside the kernel (fused_local_attention.py)
+            from ..ops.pallas.fused_local_attention import (
+                fused_qkv_local_attention,
+            )
 
-            out = local_attention_pallas(
-                q, k, v, w, causal=self.causal,
-                exact_windowsize=self.exact_windowsize,
-                use_xpos=self.use_xpos, xpos_scale_base=self.xpos_scale_base,
+            out = fused_qkv_local_attention(
+                qkv, h, dh, w, self.causal, self.exact_windowsize, True,
             )
         else:
+            q, k, v = jnp.split(
+                qkv.reshape(B, N, 3, h, dh).transpose(0, 3, 2, 1, 4), 3, axis=2
+            )
+            q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B, h, N, dh)
             out = local_attention(
                 q, k, v, w, causal=self.causal,
                 exact_windowsize=self.exact_windowsize,
@@ -244,7 +251,7 @@ class LocalMHA(nn.Module):
                 bias_table=bias_table, attn_dropout=self.attn_dropout,
                 dropout_rng=dropout_rng,
             )
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, h * dh)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, h * dh)
         return nn.Dense(D, use_bias=False, dtype=self.dtype)(out)
 
 
@@ -267,6 +274,33 @@ class GEGLUFeedForward(nn.Module):
         h = a * nn.gelu(g)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.Dense(D, use_bias=False, dtype=self.dtype)(h)
+
+
+class GlobalMHA(nn.Module):
+    """Pre-norm FULL attention branch for the global-attention inserts
+    (transformer_local_attention.py:285-286,313-327,405-407: an optional
+    `global_attn_layer` module deep-copied into selected layers and run
+    before the local attention). The reference leaves the module choice to
+    the caller; the natural instantiation is standard softmax attention
+    over the whole horizon, which is what this is."""
+
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, deterministic=True):
+        D = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        mask = None
+        if key_mask is not None:
+            # padded keys masked out for every query
+            mask = (key_mask[:, None, None, :] > 0)
+        return nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, qkv_features=self.heads * self.dim_head,
+            out_features=D, dropout_rate=self.dropout, dtype=self.dtype,
+        )(h, h, mask=mask, deterministic=deterministic)
 
 
 class DynamicPositionBias(nn.Module):
@@ -310,6 +344,12 @@ class LocalTransformer(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     use_dynamic_pos_bias: bool = False
+    # global-attention inserts (transformer_local_attention.py:285-286,
+    # 313-327): full-attention branches run before the local attention in
+    # the listed 1-based layers (None = every layer, the reference default
+    # when a global_attn_layer module is supplied)
+    use_global_attn: bool = False
+    global_attn_layers: tuple = ()
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -349,9 +389,34 @@ class LocalTransformer(nn.Module):
 
         S = self.num_residual_streams
         use_hc = S > 1
+        # 1-based layer set, empty tuple = all layers (the reference's
+        # default(layers_insert_global_attn, range(1, depth+1)))
+        gset = (
+            set(self.global_attn_layers or range(1, self.depth + 1))
+            if self.use_global_attn else set()
+        )
         if use_hc:
             h = hc_lib.expand_streams(h, S)
         for i in range(self.depth):
+            if (i + 1) in gset:
+                gmha = GlobalMHA(
+                    heads=self.heads, dim_head=self.dim_head,
+                    dropout=self.attn_dropout, dtype=self.dtype,
+                    name=f"global_attn_{i}",
+                )
+                if use_hc:
+                    # globals get their own hyper-connection slots after the
+                    # 2*depth attn/ff slots so enabling them never renames
+                    # the existing parameters
+                    hin, res, beta = hc_lib.HyperConnection(
+                        S, 2 * self.depth + i, dtype=self.dtype,
+                        name=f"hc_global_{i}")(h)
+                    out = gmha(hin, key_mask=mask,
+                               deterministic=deterministic)
+                    h = hc_lib.depth_connection(out, res, beta)
+                else:
+                    h = h + gmha(h, key_mask=mask,
+                                 deterministic=deterministic)
             mha = LocalMHA(
                 window_size=self.window_size, heads=self.heads,
                 dim_head=self.dim_head, causal=self.causal,

@@ -62,22 +62,31 @@ class MocapPlayer:
         motion = np.asarray(motion, np.float64)
         renderer = None
         frames = []
+        played = []
         if render or video_path:
             try:
                 renderer = self.mujoco.Renderer(self.model, height=height, width=width)
             except Exception:
-                renderer = None  # headless without GL: compute-only playback
+                renderer = None  # headless without GL: software fallback below
         phase_offset = np.zeros(3)
         for _ in range(loops):
             for config in motion:
                 qpos = config.copy()
                 qpos[0:3] += phase_offset
                 self.forward(qpos)
+                played.append(qpos.copy())
                 if renderer is not None:
                     renderer.update_scene(self.data)
                     frames.append(renderer.render().copy())
             phase_offset = self.data.qpos[0:3].copy()
             phase_offset[2] = 0.0
+        if renderer is None and (render or video_path) and played:
+            # no GL on this host: rasterize the capsule skeleton in software
+            # so playback still yields frames / a video artifact
+            from .softrender import render_motion
+
+            frames = list(render_motion(
+                np.stack(played), width=width, height=height))
         if video_path and frames:
             from .video import VideoSaver
 

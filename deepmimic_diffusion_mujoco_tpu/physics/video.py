@@ -21,7 +21,10 @@ class VideoSaver:
             import cv2
 
             fourcc = cv2.VideoWriter_fourcc(*"MJPG")
-            self._writer = cv2.VideoWriter(path, fourcc, fps, (width, height))
+            writer = cv2.VideoWriter(path, fourcc, fps, (width, height))
+            # VideoWriter constructs even when the codec/container is
+            # unusable — it just writes nothing; verify it actually opened
+            self._writer = writer if writer.isOpened() else None
             self._cv2 = cv2
         except Exception:
             self._writer = None

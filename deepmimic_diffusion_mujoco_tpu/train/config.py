@@ -44,6 +44,10 @@ class ModelConfig:
     use_xpos: bool = False
     num_residual_streams: int = 4
     use_dynamic_pos_bias: bool = False
+    # full-attention inserts before the local attention in the listed
+    # 1-based layers (empty = all layers when enabled)
+    use_global_attn: bool = False
+    global_attn_layers: tuple = ()
     # compute
     bf16: bool = False
     use_pallas: bool = False

@@ -248,3 +248,54 @@ def test_dynamic_position_bias_option():
     p2 = {"params": flax.traverse_util.unflatten_dict(flat)}
     out2 = m.apply(p2, x, t)
     assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-5
+
+
+def test_local_transformer_global_attn_inserts():
+    """Global-attention inserts (transformer_local_attention.py:285-327):
+    full-attention branches before the local attention in selected layers;
+    enabling them only ADDS parameters (existing names stable)."""
+    import flax
+
+    kw = dict(input_dim=8, max_seq_len=64, dim=32, depth=2, heads=2,
+              dim_head=16, window_size=8)
+    m0 = la.LocalTransformer(**kw)
+    mg = la.LocalTransformer(**kw, use_global_attn=True,
+                             global_attn_layers=(2,))
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 32, 8)), jnp.float32)
+    t = jnp.array([3, 7])
+    p0 = m0.init(jax.random.PRNGKey(0), x, t)
+    pg = mg.init(jax.random.PRNGKey(0), x, t)
+    f0 = set(flax.traverse_util.flatten_dict(p0["params"]))
+    fg = set(flax.traverse_util.flatten_dict(pg["params"]))
+    assert f0 < fg, "global inserts must be purely additive"
+    added = {k[0] for k in fg - f0}
+    assert added == {"global_attn_1", "hc_global_1"}
+
+    out = mg.apply(pg, x, t)
+    assert out.shape == (2, 32, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # the insert is live: with the local branches zeroed out a token still
+    # reaches the far end of the sequence through the global branch alone
+    flatg = flax.traverse_util.flatten_dict(pg["params"])
+    for k in list(flatg):
+        if k[0].startswith(("attn_", "ff_")) and k[-1] == "kernel":
+            flatg[k] = jnp.zeros_like(flatg[k])
+    pz = {"params": flax.traverse_util.unflatten_dict(flatg)}
+    base = mg.apply(pz, x, t)
+    x2 = x.at[:, 0].add(3.0)
+    d = np.abs(np.asarray(mg.apply(pz, x2, t) - base))
+    assert d[:, -1].max() > 1e-7, "global branch must carry long-range info"
+
+    # masked call works through the global branch too
+    mask = jnp.ones((2, 32), jnp.float32).at[:, -4:].set(0.0)
+    outm = mg.apply(pg, x, t, mask=mask)
+    assert np.isfinite(np.asarray(outm)).all()
+
+    # empty tuple = all layers
+    mall = la.LocalTransformer(**kw, use_global_attn=True)
+    pall = mall.init(jax.random.PRNGKey(0), x, t)
+    names = set(flax.traverse_util.flatten_dict(pall["params"]))
+    assert {k[0] for k in names if k[0].startswith("global_attn")} == {
+        "global_attn_0", "global_attn_1"}

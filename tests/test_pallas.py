@@ -7,13 +7,16 @@ import jax.numpy as jnp
 
 from deepmimic_diffusion_mujoco_tpu.models.local_attention import local_attention
 from deepmimic_diffusion_mujoco_tpu.ops.pallas import local_attention_kernel as K
+from deepmimic_diffusion_mujoco_tpu.ops.pallas import fused_local_attention as FK
 
 
 @pytest.fixture(autouse=True)
 def interpret_mode():
     K.INTERPRET = True
+    FK.INTERPRET = True
     yield
     K.INTERPRET = False
+    FK.INTERPRET = False
 
 
 @pytest.mark.parametrize("causal", [False, True])
@@ -63,6 +66,38 @@ def test_kernel_gradients_match_reference():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ker, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("use_rotary", [False, True])
+def test_fused_qkv_kernel_matches_jnp_reference(causal, use_rotary):
+    """Round-2 fused kernel: all heads in one program, natural qkv layout."""
+    B, h, N, dh, w = 2, 3, 256, 32, 16
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * h * dh)), jnp.float32)
+    ref = FK._jnp_reference(qkv, h, dh, w, causal, True, use_rotary)
+    ker = FK.fused_qkv_local_attention(qkv, h, dh, w, causal, True, use_rotary)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_qkv_kernel_gradients_match_reference():
+    B, h, N, dh, w = 1, 2, 128, 32, 16
+    rng = np.random.default_rng(8)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * h * dh)), jnp.float32)
+    g_ker = jax.grad(lambda q: (FK.fused_qkv_local_attention(
+        q, h, dh, w, False, True, True) ** 2).sum())(qkv)
+    g_ref = jax.grad(lambda q: (FK._jnp_reference(
+        q, h, dh, w, False, True, True) ** 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref), atol=2e-3)
+
+
+def test_fused_qkv_kernel_fallback_unaligned():
+    B, h, N, dh, w = 1, 2, 96, 32, 16  # N % 128 != 0 -> jnp fallback
+    rng = np.random.default_rng(9)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * h * dh)), jnp.float32)
+    ref = FK._jnp_reference(qkv, h, dh, w, False, True, True)
+    out = FK.fused_qkv_local_attention(qkv, h, dh, w, False, True, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 def test_local_mha_use_pallas_flag():

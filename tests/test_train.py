@@ -324,3 +324,23 @@ def test_dropout_active_in_training_loss():
     assert float(d1) == float(d1b)
     assert abs(float(l1) - float(d1)) > 1e-7
     assert abs(float(l1) - float(l2)) > 1e-9
+
+
+def test_epochs_yields_full_batches_for_small_datasets():
+    """Regression: a dataset smaller than batch_size used to make
+    `epochs` spin forever without yielding (the default train CLI config
+    on the walk clip: 32 trajectories, batch 64)."""
+    from deepmimic_diffusion_mujoco_tpu.data.datasets import MotionDataset
+
+    ds = MotionDataset.from_path(
+        "data/motions/humanoid3d_walk.txt", augment="cyclic_rooted",
+        horizon_multiple=8,
+    )
+    n = len(ds)
+    bs = 2 * n  # larger than the dataset
+    it = ds.epochs(bs, seed=0)
+    b = next(it)
+    assert b.trajectories.shape[0] == bs
+    # every underlying trajectory appears (oversampling, not truncation)
+    b2 = next(it)
+    assert b2.trajectories.shape[0] == bs
