@@ -115,17 +115,24 @@ def bench_train(jax, jnp, extras: dict):
     train_many = make_train_many(tx, loss_fn)
 
     # device-resident input pipeline: stage K optimizer steps ahead, run the
-    # whole K-step loop as one compiled scan (zero host round-trips)
-    K = 20
+    # whole K-step loop as one compiled scan (zero host round-trips).
+    # K=50 measured best on the tunneled chip (154.5 vs 150.8 steps/s at
+    # K=20: the ~30 ms per-call dispatch amortizes 2.5x further); K=100's
+    # 143 MB staged transfer exceeds a tunnel device_put limit. Stage on
+    # the HOST and ship one array — stacking K device arrays on-chip hits
+    # a backend concatenate limit at K>=50.
+    K = 50
     batches = ds.epochs(32 * accum, seed=0)
 
     def stage():
         stack = [next(batches) for _ in range(K)]
         return jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *stack
+            lambda *xs: jax.device_put(np.stack([np.asarray(x) for x in xs])),
+            *stack,
         )
 
     staged = stage()
+    _log("[bench] compiling train program")
     # make_train_many is already jitted (with state donation); lower/compile
     # it directly so cost_analysis sees the real program
     compiled = train_many.lower(state, staged, jax.random.PRNGKey(0)).compile()
@@ -145,9 +152,24 @@ def bench_train(jax, jnp, extras: dict):
         best_dt = min(best_dt, time.perf_counter() - t0)
     steps_per_s = (n_calls * K) / best_dt
 
-    flops_k = _flops_per_call(compiled)  # FLOPs for K optimizer steps
-    if flops_k is not None:
-        flop_per_step = flops_k / K
+    # FLOPs per optimizer step: count on a SINGLE-step lowering — XLA cost
+    # analysis tallies a lax.scan body once regardless of trip count, so
+    # the K-step program's "flops" is really one iteration's worth
+    flop_per_step = None
+    try:
+        def one_step(p, batch, rng):
+            return jax.grad(lambda pp: loss_fn(pp, batch, rng)[0])(p)
+
+        ca = jax.jit(one_step).lower(
+            params, jax.tree_util.tree_map(lambda x: x[0], staged),
+            jax.random.PRNGKey(0),
+        ).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flop_per_step = float(ca["flops"])
+    except Exception:
+        flop_per_step = _flops_per_call(compiled)  # scan body counted once
+    if flop_per_step is not None:
         achieved = flop_per_step * steps_per_s
         peak = _chip_peak_flops(jax.devices()[0])
         extras["train_flop_per_step"] = round(flop_per_step / 1e9, 1)  # GFLOP
@@ -236,15 +258,22 @@ def bench_physics(jax, jnp, extras: dict):
     extras["physics_env_steps_per_s"] = round(N * n_steps / best, 0)
 
 
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    _log(f"[bench] devices: {jax.devices()}")
     extras: dict = {}
     steps_per_s = bench_train(jax, jnp, extras)
+    _log(f"[bench] train done: {steps_per_s:.1f} steps/s")
     for section in (bench_sampling, bench_physics):
         try:
             section(jax, jnp, extras)
+            _log(f"[bench] {section.__name__} done")
         except Exception as e:  # secondary metrics must not sink the bench
             extras[f"{section.__name__}_error"] = f"{type(e).__name__}: {e}"
 

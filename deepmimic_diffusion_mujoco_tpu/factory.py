@@ -33,6 +33,9 @@ def build_model(cfg: ModelConfig):
         return TemporalUnet(
             transition_dim=cfg.input_dim, dim=cfg.channel_dim,
             dim_mults=tuple(cfg.dim_mults), attention=cfg.attention,
+            # auto (None) = off: the conv+GN+Mish kernel measured slower
+            # than XLA's conv codegen end-to-end (BASELINE.md)
+            use_pallas=bool(cfg.use_pallas),
             dtype=dtype,
         )
     if cfg.architecture == "local_attention":
@@ -46,7 +49,9 @@ def build_model(cfg: ModelConfig):
             use_dynamic_pos_bias=cfg.use_dynamic_pos_bias,
             use_global_attn=cfg.use_global_attn,
             global_attn_layers=tuple(cfg.global_attn_layers),
-            num_classes=cfg.num_classes, use_pallas=cfg.use_pallas,
+            num_classes=cfg.num_classes,
+            use_pallas=(cfg.use_pallas if cfg.use_pallas is not None
+                        else True),
             dtype=dtype,
         )
     if cfg.architecture == "decoder":

@@ -197,7 +197,12 @@ class LocalMHA(nn.Module):
     xpos_scale_base: float | None = None
     use_rotary: bool = True
     attn_dropout: float = 0.0
-    use_pallas: bool = False
+    # fused kernel ON by default: measured end-to-end >= parity at every
+    # supported shape on TPU v5e (1.03-1.09x at H=128-1024, dim 512; see
+    # ops/pallas/fused_local_attention.py); unsupported cases (masks,
+    # window overrides, dropout, xpos, unaligned N) and non-TPU backends
+    # fall back to the jnp path automatically
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -350,7 +355,7 @@ class LocalTransformer(nn.Module):
     # when a global_attn_layer module is supplied)
     use_global_attn: bool = False
     global_attn_layers: tuple = ()
-    use_pallas: bool = False
+    use_pallas: bool = True  # measured win/parity everywhere (see LocalMHA)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

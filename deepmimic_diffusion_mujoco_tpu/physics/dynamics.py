@@ -334,7 +334,8 @@ def _quat_conj(q):
     return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
 
 
-def bias_forces(qpos: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarray:
+def bias_forces(qpos: jnp.ndarray, qvel: jnp.ndarray,
+                fk0: "DynFK | None" = None, JvJw=None) -> jnp.ndarray:
     """(NV,) generalized Coriolis/centrifugal + gravity forces c(q, qv)
     (MuJoCo's qfrc_bias sign convention: M qacc = tau - c).
 
@@ -365,8 +366,11 @@ def bias_forces(qpos: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarray:
     Iw_w = jnp.einsum("bij,bj->bi", I_w, w)
     N = jnp.einsum("bij,bj->bi", I_w, alpha) + jnp.cross(w, Iw_w)
 
-    fk0 = fk_dynamics(qpos)
-    Jv, Jw = body_jacobians(fk0)
+    # the caller (forward_dynamics) has usually already run the FK and
+    # Jacobians for the mass matrix — reuse them instead of recomputing
+    if fk0 is None:
+        fk0 = fk_dynamics(qpos)
+    Jv, Jw = JvJw if JvJw is not None else body_jacobians(fk0)
     return jnp.einsum("biv,bi->v", Jv, F) + jnp.einsum("biv,bi->v", Jw, N)
 
 
@@ -480,7 +484,8 @@ def forward_dynamics(
         [jnp.zeros((6,), dtype), jnp.full((NJ,), JOINT_ARMATURE, dtype)]
     ))
 
-    rhs = tau + passive_forces(qpos, qvel) - bias_forces(qpos, qvel)
+    rhs = tau + passive_forces(qpos, qvel) - bias_forces(
+        qpos, qvel, fk0=fk, JvJw=(Jv, Jw))
     if limits:
         rhs = rhs + limit_forces(qpos, qvel)
     D_joint = jnp.full((NJ,), JOINT_DAMPING, dtype)

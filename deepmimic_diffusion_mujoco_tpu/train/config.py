@@ -50,7 +50,9 @@ class ModelConfig:
     global_attn_layers: tuple = ()
     # compute
     bf16: bool = False
-    use_pallas: bool = False
+    # None = auto: enable the kernels that are measured end-to-end wins on
+    # TPU (local-attention fused kernel yes, conv+GN+Mish no)
+    use_pallas: bool | None = None
 
 
 @dataclass

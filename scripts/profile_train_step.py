@@ -102,12 +102,15 @@ def main():
     peak = args.peak_tflops * 1e12
     report = []
 
-    def stage(name, fn, *a, per_call_steps=1):
+    def stage(name, fn, *a, per_call_steps=1, flop_div=None):
+        # flop_div defaults to 1 because XLA cost analysis counts a
+        # lax.scan body ONCE regardless of trip count — for the scan stage
+        # the reported flops already IS one step's worth
         jitted = jax.jit(fn)
         compiled = jitted.lower(*a).compile()
         dt = timed(compiled, *a)
         fl = flops_of(compiled)
-        report.append((name, dt / per_call_steps, fl / per_call_steps))
+        report.append((name, dt / per_call_steps, fl / (flop_div or 1)))
 
     # 1) forward loss only
     stage("forward", lambda p, b, r: loss_fn(p, b, r)[0], params, batch, rng)

@@ -80,6 +80,23 @@ def test_fused_qkv_kernel_matches_jnp_reference(causal, use_rotary):
     np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.parametrize("N,w", [
+    (128, 16),   # nc == 1: single-block kernel
+    (256, 64),   # P == C (2w == C): whole-neighbor slices
+    (384, 32),   # P == 64 < C: tight 2w slices
+    (256, 8),    # P == 16, smallest aligned slice
+])
+def test_fused_qkv_kernel_chunking_paths(N, w):
+    """Every chunking strategy (single block / tight slices / full blocks)
+    must agree with the jnp reference."""
+    B, h, dh = 2, 2, 32
+    rng = np.random.default_rng(13)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * h * dh)), jnp.float32)
+    ref = FK._jnp_reference(qkv, h, dh, w, False, True, True)
+    ker = FK.fused_qkv_local_attention(qkv, h, dh, w, False, True, True)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=2e-4)
+
+
 def test_fused_qkv_kernel_gradients_match_reference():
     B, h, N, dh, w = 1, 2, 128, 32, 16
     rng = np.random.default_rng(8)
@@ -105,7 +122,8 @@ def test_local_mha_use_pallas_flag():
     from deepmimic_diffusion_mujoco_tpu.models.local_attention import LocalTransformer
 
     m_ref = LocalTransformer(input_dim=8, max_seq_len=128, dim=32, depth=1,
-                             heads=2, dim_head=16, window_size=16)
+                             heads=2, dim_head=16, window_size=16,
+                             use_pallas=False)
     m_pal = LocalTransformer(input_dim=8, max_seq_len=128, dim=32, depth=1,
                              heads=2, dim_head=16, window_size=16,
                              use_pallas=True)
