@@ -407,6 +407,12 @@ def _skew(r: jnp.ndarray) -> jnp.ndarray:
     ], -2)
 
 
+# static one-hot (NB, NC) point->body aggregation matrix: per-body moment
+# sums become one small matmul (TPU-friendly) instead of scatter-adds
+_CONTACT_ONEHOT = np.zeros((NB, len(CONTACT_BODY)), np.float32)
+_CONTACT_ONEHOT[CONTACT_BODY, np.arange(len(CONTACT_BODY))] = 1.0
+
+
 def contact_terms(
     fk: DynFK, Jv: jnp.ndarray, Jw: jnp.ndarray, qvel: jnp.ndarray,
     stiffness: float = 30000.0, damping: float = 1000.0,
@@ -422,18 +428,38 @@ def contact_terms(
     substep, the same reason MuJoCo's Euler integrates joint damping
     implicitly.
 
+    TPU layout note: the point Jacobians Jp = Jv_b - [r]x Jw_b are NEVER
+    materialized. Per-point (NC, 3, NV) tensors tile-pad 3->8 sublanes and
+    NV=34->128 lanes under vmap (~9x HBM traffic, measured 6.3 ms of a
+    13.9 ms substep at batch 4096). Instead everything is aggregated to
+    per-body 3x3 moments first (exact algebra, not an approximation):
+
+      xdot_p   = v_b + w_b x r_p                 (body COM twist, gathered)
+      tau_c    = sum_b [Jv_b^T F_b + Jw_b^T T_b],  F_b = sum f_p,
+                                                   T_b = sum r_p x f_p
+      JWJ      = sum_b G_b^T K_b G_b,  G_b = [Jv_b; Jw_b]  (6, NV),
+                 K_b = [[A_b, -B_b], [-B_b^T, C_b]]  (6, 6) with
+                 A_b = sum W_p,  B_b = sum W_p S_p,  C_b = sum S_p^T W_p S_p,
+                 S_p = skew(r_p), W_p = diag(c_t, c_t, c_n).
+
+    The largest intermediate is (NC, 3, 3); the final contractions have the
+    same body-level shapes as the mass-matrix quadratic form.
+
     Returns (tau_c, JWJ): the explicit generalized contact force at the
     current velocity, and the (NV, NV) implicit damping coupling."""
     dtype = fk.body_pos.dtype
     bidx = jnp.asarray(CONTACT_BODY)
     pts = jnp.asarray(CONTACT_POINT, dtype)
     rad = jnp.asarray(CONTACT_RADIUS, dtype)
+    onehot = jnp.asarray(_CONTACT_ONEHOT, dtype)                   # (NB, NC)
 
     x = fk.body_pos[bidx] + quat_rotate(fk.body_quat[bidx], pts)   # (NC, 3)
-    # full point Jacobians: Jp = Jv_com - [r]x Jw, r = x - com
     r = x - fk.com_w[bidx]
-    Jp = Jv[bidx] - _skew(r) @ Jw[bidx]                            # (NC, 3, NV)
-    xdot = jnp.einsum("pav,v->pa", Jp, qvel)
+
+    # body COM twist -> per-point velocity (no Jp): xdot = v_b + w_b x r
+    v_b = jnp.einsum("bav,v->ba", Jv, qvel)                        # (NB, 3)
+    w_b = jnp.einsum("bav,v->ba", Jw, qvel)
+    xdot = v_b[bidx] + jnp.cross(w_b[bidx], r)                     # (NC, 3)
 
     depth = rad - x[:, 2]                                          # >0: contact
     active = (depth > 0.0).astype(dtype)
@@ -444,12 +470,32 @@ def contact_terms(
     c_t = mu * fn / vt_norm                                        # (NC,)
     ft = -c_t[:, None] * vt
     f = jnp.concatenate([ft, fn[:, None]], axis=-1)                # (NC, 3)
-    tau_c = jnp.einsum("pav,pa->v", Jp, f)
 
-    # implicit coupling: per-point world-frame diag(c_t, c_t, c_n)
+    # force/torque resultants per body: F_b = sum f, T_b = sum r x f
+    F = onehot @ f                                                 # (NB, 3)
+    T = onehot @ jnp.cross(r, f)
+    tau_c = jnp.einsum("bav,ba->v", Jv, F) + jnp.einsum("bav,ba->v", Jw, T)
+
+    # per-point world-frame diag(c_t, c_t, c_n) aggregated to body moments
     W = jnp.stack([c_t, c_t, damping * active], axis=-1)           # (NC, 3)
-    JWJ = jnp.einsum("pav,pa,paw->vw", Jp, W, Jp)
+    S = _skew(r)                                                   # (NC, 3, 3)
+    WS = W[:, :, None] * S                                         # diag(W) S
+    STWS = jnp.einsum("pij,pik->pjk", S, WS)                       # S^T W S
+    A = jnp.einsum("bp,pi->bi", onehot, W)                         # (NB, 3)
+    B = (onehot @ WS.reshape(-1, 9)).reshape(NB, 3, 3)
+    C = (onehot @ STWS.reshape(-1, 9)).reshape(NB, 3, 3)
+    K = jnp.concatenate([
+        jnp.concatenate([_diag3(A), -B], axis=-1),
+        jnp.concatenate([-B.transpose(0, 2, 1), C], axis=-1),
+    ], axis=-2)                                                    # (NB, 6, 6)
+    G = jnp.concatenate([Jv, Jw], axis=1)                          # (NB, 6, NV)
+    JWJ = jnp.einsum("biv,bij,bjw->vw", G, K, G)
     return tau_c, JWJ
+
+
+def _diag3(d: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) -> (..., 3, 3) diagonal embedding."""
+    return d[..., :, None] * jnp.eye(3, dtype=d.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,50 @@ def test_dynamics_env_batched_matches_single():
     for i in range(3):
         qi, vi = eng.step(q[i : i + 1], v[i : i + 1], tgt[i : i + 1])
         np.testing.assert_allclose(np.asarray(qb[i]), np.asarray(qi[0]), atol=2e-5)
+
+
+def test_contact_terms_body_aggregation_exact(walk_qpos):
+    """The body-aggregated contact formulation (per-body 3x3 moments, no
+    (NC, 3, NV) point Jacobians — the TPU tile-padding fix) is EXACTLY the
+    dense formula tau_c = sum_p Jp^T f_p, JWJ = sum_p Jp^T W_p Jp."""
+    rng = np.random.default_rng(1)
+
+    def dense(fk, Jv, Jw, qvel, stiffness=30000.0, damping=1000.0,
+              mu=dyn.FLOOR_FRICTION, v_reg=5e-3):
+        from deepmimic_diffusion_mujoco_tpu.physics.kinematics import quat_rotate
+
+        dtype = fk.body_pos.dtype
+        bidx = jnp.asarray(dyn.CONTACT_BODY)
+        pts = jnp.asarray(dyn.CONTACT_POINT, dtype)
+        rad = jnp.asarray(dyn.CONTACT_RADIUS, dtype)
+        x = fk.body_pos[bidx] + quat_rotate(fk.body_quat[bidx], pts)
+        r = x - fk.com_w[bidx]
+        Jp = Jv[bidx] - dyn._skew(r) @ Jw[bidx]
+        xdot = jnp.einsum("pav,v->pa", Jp, qvel)
+        depth = rad - x[:, 2]
+        active = (depth > 0.0).astype(dtype)
+        fn = jnp.maximum(
+            stiffness * depth * active - damping * xdot[:, 2] * active, 0.0)
+        vt = xdot[:, 0:2]
+        vt_norm = jnp.sqrt((vt * vt).sum(-1) + v_reg * v_reg)
+        c_t = mu * fn / vt_norm
+        f = jnp.concatenate([-c_t[:, None] * vt, fn[:, None]], -1)
+        tau_c = jnp.einsum("pav,pa->v", Jp, f)
+        W = jnp.stack([c_t, c_t, damping * active], -1)
+        JWJ = jnp.einsum("pav,pa,paw->vw", Jp, W, Jp)
+        return tau_c, JWJ
+
+    with jax.enable_x64(True):
+        for i in range(6):
+            q = jnp.asarray(walk_qpos[(i * 5) % len(walk_qpos)], jnp.float64)
+            if i % 2 == 0:  # push down so several contacts activate
+                q = q.at[2].add(-0.35)
+            v = jnp.asarray(rng.normal(size=(dyn.NV,)) * 2.0, jnp.float64)
+            fk = dyn.fk_dynamics(q)
+            Jv, Jw = dyn.body_jacobians(fk)
+            t1, J1 = dyn.contact_terms(fk, Jv, Jw, v)
+            t2, J2 = dense(fk, Jv, Jw, v)
+            np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                                       atol=1e-8)
+            np.testing.assert_allclose(np.asarray(J1), np.asarray(J2),
+                                       atol=1e-8)
