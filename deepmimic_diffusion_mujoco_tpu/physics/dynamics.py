@@ -282,18 +282,24 @@ def body_jacobians(fk: DynFK):
 
 
 def mass_matrix(fk: DynFK) -> jnp.ndarray:
-    """(NV, NV) joint-space inertia: CRB quadratic form + armature."""
-    dtype = fk.body_pos.dtype
-    Jv, Jw = body_jacobians(fk)
-    m = jnp.asarray(BODY_MASS, dtype)
-    R = _quat_to_mat(fk.body_quat)                             # (NB, 3, 3)
-    I_w = R @ jnp.asarray(BODY_INERTIA, dtype) @ R.transpose(0, 2, 1)
-    M = jnp.einsum("biv,b,biw->vw", Jv, m, Jv)
-    M = M + jnp.einsum("biv,bij,bjw->vw", Jw, I_w, Jw)
-    arm = jnp.concatenate(
-        [jnp.zeros((6,), dtype), jnp.full((NJ,), JOINT_ARMATURE, dtype)]
-    )
-    return M + jnp.diag(arm)
+    """(NV, NV) joint-space inertia: CRB quadratic form + armature.
+
+    Forces true-f32 contractions: TPU matmuls/einsums default to bf16 MXU
+    passes, and a bf16-rounded mass matrix loses positive-definiteness —
+    the downstream Cholesky NaNs on most instances (measured: 3256/4096
+    after one control step). Same guard on bias/contact/forward_dynamics."""
+    with jax.default_matmul_precision("highest"):
+        dtype = fk.body_pos.dtype
+        Jv, Jw = body_jacobians(fk)
+        m = jnp.asarray(BODY_MASS, dtype)
+        R = _quat_to_mat(fk.body_quat)                         # (NB, 3, 3)
+        I_w = R @ jnp.asarray(BODY_INERTIA, dtype) @ R.transpose(0, 2, 1)
+        M = jnp.einsum("biv,b,biw->vw", Jv, m, Jv)
+        M = M + jnp.einsum("biv,bij,bjw->vw", Jw, I_w, Jw)
+        arm = jnp.concatenate(
+            [jnp.zeros((6,), dtype), jnp.full((NJ,), JOINT_ARMATURE, dtype)]
+        )
+        return M + jnp.diag(arm)
 
 
 def _quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
@@ -341,37 +347,43 @@ def bias_forces(qpos: jnp.ndarray, qvel: jnp.ndarray,
 
     Body COM velocity/acceleration and angular velocity/acceleration along
     the exact qacc=0 trajectory come from nested jvp of the position
-    kinematics in time — no hand-derived velocity-product terms."""
+    kinematics in time — no hand-derived velocity-product terms.
+
+    True-f32 contractions (see mass_matrix)."""
+
+    one = jnp.ones((), qpos.dtype)
 
     def kin(dt):
         fk = fk_dynamics(integrate_qpos(qpos, qvel, dt))
         return fk.com_w, fk.body_quat
 
     def vel(dt):
-        (c, q), (dc, dq) = jax.jvp(kin, (dt,), (jnp.ones(()),))
+        (c, q), (dc, dq) = jax.jvp(kin, (dt,), (one,))
         # world angular velocity from qdot: w = 2 * vec(qdot x q*)
         w = 2.0 * quat_mul(dq, _quat_conj(q))[..., 1:]
         return c, q, dc, w
 
     (_, q0, v_com, w), (_, _, a_com, alpha) = jax.jvp(
-        vel, (jnp.zeros(()),), (jnp.ones(()),)
+        vel, (jnp.zeros((), qpos.dtype),), (one,)
     )
 
-    dtype = qpos.dtype
-    m = jnp.asarray(BODY_MASS, dtype)
-    R = _quat_to_mat(q0)
-    I_w = R @ jnp.asarray(BODY_INERTIA, dtype) @ R.transpose(0, 2, 1)
-    g = jnp.asarray([0.0, 0.0, -GRAVITY], dtype)
-    F = m[:, None] * (a_com - g[None])                        # (NB, 3)
-    Iw_w = jnp.einsum("bij,bj->bi", I_w, w)
-    N = jnp.einsum("bij,bj->bi", I_w, alpha) + jnp.cross(w, Iw_w)
+    with jax.default_matmul_precision("highest"):
+        dtype = qpos.dtype
+        m = jnp.asarray(BODY_MASS, dtype)
+        R = _quat_to_mat(q0)
+        I_w = R @ jnp.asarray(BODY_INERTIA, dtype) @ R.transpose(0, 2, 1)
+        g = jnp.asarray([0.0, 0.0, -GRAVITY], dtype)
+        F = m[:, None] * (a_com - g[None])                    # (NB, 3)
+        Iw_w = jnp.einsum("bij,bj->bi", I_w, w)
+        N = jnp.einsum("bij,bj->bi", I_w, alpha) + jnp.cross(w, Iw_w)
 
-    # the caller (forward_dynamics) has usually already run the FK and
-    # Jacobians for the mass matrix — reuse them instead of recomputing
-    if fk0 is None:
-        fk0 = fk_dynamics(qpos)
-    Jv, Jw = JvJw if JvJw is not None else body_jacobians(fk0)
-    return jnp.einsum("biv,bi->v", Jv, F) + jnp.einsum("biv,bi->v", Jw, N)
+        # the caller (forward_dynamics) has usually already run the FK and
+        # Jacobians for the mass matrix — reuse them instead of recomputing
+        if fk0 is None:
+            fk0 = fk_dynamics(qpos)
+        Jv, Jw = JvJw if JvJw is not None else body_jacobians(fk0)
+        return (jnp.einsum("biv,bi->v", Jv, F)
+                + jnp.einsum("biv,bi->v", Jw, N))
 
 
 # ---------------------------------------------------------------------------
@@ -446,51 +458,54 @@ def contact_terms(
     same body-level shapes as the mass-matrix quadratic form.
 
     Returns (tau_c, JWJ): the explicit generalized contact force at the
-    current velocity, and the (NV, NV) implicit damping coupling."""
-    dtype = fk.body_pos.dtype
-    bidx = jnp.asarray(CONTACT_BODY)
-    pts = jnp.asarray(CONTACT_POINT, dtype)
-    rad = jnp.asarray(CONTACT_RADIUS, dtype)
-    onehot = jnp.asarray(_CONTACT_ONEHOT, dtype)                   # (NB, NC)
+    current velocity, and the (NV, NV) implicit damping coupling.
+    True-f32 contractions (see mass_matrix)."""
+    with jax.default_matmul_precision("highest"):
+        dtype = fk.body_pos.dtype
+        bidx = jnp.asarray(CONTACT_BODY)
+        pts = jnp.asarray(CONTACT_POINT, dtype)
+        rad = jnp.asarray(CONTACT_RADIUS, dtype)
+        onehot = jnp.asarray(_CONTACT_ONEHOT, dtype)               # (NB, NC)
 
-    x = fk.body_pos[bidx] + quat_rotate(fk.body_quat[bidx], pts)   # (NC, 3)
-    r = x - fk.com_w[bidx]
+        x = fk.body_pos[bidx] + quat_rotate(fk.body_quat[bidx], pts)
+        r = x - fk.com_w[bidx]                                     # (NC, 3)
 
-    # body COM twist -> per-point velocity (no Jp): xdot = v_b + w_b x r
-    v_b = jnp.einsum("bav,v->ba", Jv, qvel)                        # (NB, 3)
-    w_b = jnp.einsum("bav,v->ba", Jw, qvel)
-    xdot = v_b[bidx] + jnp.cross(w_b[bidx], r)                     # (NC, 3)
+        # body COM twist -> per-point velocity (no Jp): xdot = v_b + w_b x r
+        v_b = jnp.einsum("bav,v->ba", Jv, qvel)                    # (NB, 3)
+        w_b = jnp.einsum("bav,v->ba", Jw, qvel)
+        xdot = v_b[bidx] + jnp.cross(w_b[bidx], r)                 # (NC, 3)
 
-    depth = rad - x[:, 2]                                          # >0: contact
-    active = (depth > 0.0).astype(dtype)
-    fn_spring = stiffness * depth * active
-    fn = jnp.maximum(fn_spring - damping * xdot[:, 2] * active, 0.0)
-    vt = xdot[:, 0:2]
-    vt_norm = jnp.sqrt((vt * vt).sum(-1) + v_reg * v_reg)
-    c_t = mu * fn / vt_norm                                        # (NC,)
-    ft = -c_t[:, None] * vt
-    f = jnp.concatenate([ft, fn[:, None]], axis=-1)                # (NC, 3)
+        depth = rad - x[:, 2]                                      # >0: contact
+        active = (depth > 0.0).astype(dtype)
+        fn_spring = stiffness * depth * active
+        fn = jnp.maximum(fn_spring - damping * xdot[:, 2] * active, 0.0)
+        vt = xdot[:, 0:2]
+        vt_norm = jnp.sqrt((vt * vt).sum(-1) + v_reg * v_reg)
+        c_t = mu * fn / vt_norm                                    # (NC,)
+        ft = -c_t[:, None] * vt
+        f = jnp.concatenate([ft, fn[:, None]], axis=-1)            # (NC, 3)
 
-    # force/torque resultants per body: F_b = sum f, T_b = sum r x f
-    F = onehot @ f                                                 # (NB, 3)
-    T = onehot @ jnp.cross(r, f)
-    tau_c = jnp.einsum("bav,ba->v", Jv, F) + jnp.einsum("bav,ba->v", Jw, T)
+        # force/torque resultants per body: F_b = sum f, T_b = sum r x f
+        F = onehot @ f                                             # (NB, 3)
+        T = onehot @ jnp.cross(r, f)
+        tau_c = (jnp.einsum("bav,ba->v", Jv, F)
+                 + jnp.einsum("bav,ba->v", Jw, T))
 
-    # per-point world-frame diag(c_t, c_t, c_n) aggregated to body moments
-    W = jnp.stack([c_t, c_t, damping * active], axis=-1)           # (NC, 3)
-    S = _skew(r)                                                   # (NC, 3, 3)
-    WS = W[:, :, None] * S                                         # diag(W) S
-    STWS = jnp.einsum("pij,pik->pjk", S, WS)                       # S^T W S
-    A = jnp.einsum("bp,pi->bi", onehot, W)                         # (NB, 3)
-    B = (onehot @ WS.reshape(-1, 9)).reshape(NB, 3, 3)
-    C = (onehot @ STWS.reshape(-1, 9)).reshape(NB, 3, 3)
-    K = jnp.concatenate([
-        jnp.concatenate([_diag3(A), -B], axis=-1),
-        jnp.concatenate([-B.transpose(0, 2, 1), C], axis=-1),
-    ], axis=-2)                                                    # (NB, 6, 6)
-    G = jnp.concatenate([Jv, Jw], axis=1)                          # (NB, 6, NV)
-    JWJ = jnp.einsum("biv,bij,bjw->vw", G, K, G)
-    return tau_c, JWJ
+        # per-point world-frame diag(c_t, c_t, c_n) -> body moment matrices
+        W = jnp.stack([c_t, c_t, damping * active], axis=-1)       # (NC, 3)
+        S = _skew(r)                                               # (NC, 3, 3)
+        WS = W[:, :, None] * S                                     # diag(W) S
+        STWS = jnp.einsum("pij,pik->pjk", S, WS)                   # S^T W S
+        A = jnp.einsum("bp,pi->bi", onehot, W)                     # (NB, 3)
+        B = (onehot @ WS.reshape(-1, 9)).reshape(NB, 3, 3)
+        C = (onehot @ STWS.reshape(-1, 9)).reshape(NB, 3, 3)
+        K = jnp.concatenate([
+            jnp.concatenate([_diag3(A), -B], axis=-1),
+            jnp.concatenate([-B.transpose(0, 2, 1), C], axis=-1),
+        ], axis=-2)                                                # (NB, 6, 6)
+        G = jnp.concatenate([Jv, Jw], axis=1)                      # (NB, 6, NV)
+        JWJ = jnp.einsum("biv,bij,bjw->vw", G, K, G)
+        return tau_c, JWJ
 
 
 def _diag3(d: jnp.ndarray) -> jnp.ndarray:
@@ -517,15 +532,16 @@ def forward_dynamics(
     matrix, which is the backward-Euler update for the velocity-linear part
     (MuJoCo's Euler does the same for joint damping). With h_implicit = 0
     this is the exact continuous forward dynamics (used by the MuJoCo
-    parity tests)."""
+    parity tests). True-f32 contractions (see mass_matrix)."""
     fk = fk_dynamics(qpos)
     Jv, Jw = body_jacobians(fk)
     dtype = qpos.dtype
-    m = jnp.asarray(BODY_MASS, dtype)
-    R = _quat_to_mat(fk.body_quat)
-    I_w = R @ jnp.asarray(BODY_INERTIA, dtype) @ R.transpose(0, 2, 1)
-    M = jnp.einsum("biv,b,biw->vw", Jv, m, Jv)
-    M = M + jnp.einsum("biv,bij,bjw->vw", Jw, I_w, Jw)
+    with jax.default_matmul_precision("highest"):
+        m = jnp.asarray(BODY_MASS, dtype)
+        R = _quat_to_mat(fk.body_quat)
+        I_w = R @ jnp.asarray(BODY_INERTIA, dtype) @ R.transpose(0, 2, 1)
+        M = jnp.einsum("biv,b,biw->vw", Jv, m, Jv)
+        M = M + jnp.einsum("biv,bij,bjw->vw", Jw, I_w, Jw)
     M = M + jnp.diag(jnp.concatenate(
         [jnp.zeros((6,), dtype), jnp.full((NJ,), JOINT_ARMATURE, dtype)]
     ))
@@ -627,11 +643,25 @@ class DynamicsEnv:
     Replaces round-1's PDPhysicsEnv (which integrated joint coordinates
     against a scalar inertia and never rotated the root). dt is the 30 Hz
     control interval of the mocap clips; substeps at h = dt/substeps ~= the
-    reference integrator timestep 0.002 (dp_env_v2.xml:9)."""
+    reference integrator timestep 0.002 (dp_env_v2.xml:9).
+
+    `layout` selects the batching strategy:
+      - "vmap" (default): env axis leading via jax.vmap over the
+        single-env functions (the MuJoCo-parity reference path).
+      - "lanes": env-last structure-of-arrays (dynamics_lanes.py) — the
+        env axis rides the 128-wide TPU lane dimension; state transposes
+        once per control step at the scan boundary. Measured equivalent
+        to vmap end-to-end on v5e (the substep is bound by materialized
+        intermediates between fusions, not tile padding — see
+        dynamics_lanes.py docstring for the measured analysis).
+    Both are the same math; parity is tested to ~1e-12 in f64."""
 
     def __init__(self, dt: float = 1.0 / 30.0, substeps: int = 17,
                  kp_scale: float = 1.0, kd_scale: float = 1.0,
-                 contacts: bool = True, limits: bool = True):
+                 contacts: bool = True, limits: bool = True,
+                 layout: str = "vmap"):
+        if layout not in ("lanes", "vmap"):
+            raise ValueError(layout)
         self.dt = dt
         self.substeps = substeps
         self.h = dt / substeps
@@ -639,13 +669,33 @@ class DynamicsEnv:
         self.kd_scale = kd_scale
         self.contacts = contacts
         self.limits = limits
+        self.layout = layout
 
     @partial(jax.jit, static_argnums=0)
     def step(self, qpos, qvel, target_qpos):
         """(N, 35), (N, 34), (N, 35) -> stepped (qpos, qvel). PD torques are
         recomputed every substep against the fixed target."""
-
         kd = jnp.asarray(PD_KD, qpos.dtype) * self.kd_scale
+
+        if self.layout == "lanes":
+            from . import dynamics_lanes as DL
+
+            tgt_T = target_qpos.T
+
+            def sub_l(carry, _):
+                qp_T, qv_T = carry
+                tau_T = DL.pd_torques_lanes(
+                    qp_T, qv_T, tgt_T, self.kp_scale, self.kd_scale)
+                qp_T, qv_T = DL.step_physics_lanes(
+                    qp_T, qv_T, tau_T, self.h, contacts=self.contacts,
+                    limits=self.limits, kd_extra=kd,
+                )
+                return (qp_T, qv_T), None
+
+            (qp_T, qv_T), _ = jax.lax.scan(
+                sub_l, (qpos.T, qvel.T), None, length=self.substeps
+            )
+            return qp_T.T, qv_T.T
 
         def sub(carry, _):
             qp, qv = carry

@@ -181,7 +181,7 @@ class PhysicsTrackingEnv:
     def __init__(self, qpos_clip: np.ndarray, qvel_clip: np.ndarray | None = None,
                  dt: float = 1.0 / 30.0, substeps: int = 17,
                  kp_scale: float = 1.0, kd_scale: float = 1.0,
-                 fall_height: float = 0.3):
+                 fall_height: float = 0.3, layout: str = "vmap"):
         from .dynamics import DynamicsEnv
 
         self.motion = jnp.asarray(qpos_clip, jnp.float32)
@@ -193,7 +193,8 @@ class PhysicsTrackingEnv:
         self.num_frames = self.motion.shape[0]
         self.fall_height = fall_height
         self.engine = DynamicsEnv(
-            dt=dt, substeps=substeps, kp_scale=kp_scale, kd_scale=kd_scale
+            dt=dt, substeps=substeps, kp_scale=kp_scale, kd_scale=kd_scale,
+            layout=layout,
         )
 
     def reset(self, n: int, stagger: bool = True) -> PhysicsState:
@@ -224,3 +225,18 @@ class PhysicsTrackingEnv:
         done = state.done | fell
         reward = jnp.where(done, 0.0, reward)
         return PhysicsState(nxt, qpos, qvel, done), reward
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def rollout(self, state: PhysicsState, num_steps: int):
+        """Run `num_steps` control steps as ONE compiled lax.scan.
+
+        Returns (final_state, rewards (num_steps, N)). This is the shape an
+        RL consumer wants (whole-episode segments on device) and the honest
+        way to measure device throughput: sequential `step` calls pay the
+        per-call dispatch latency (~32 ms through the tunneled chip) every
+        control step, which a scan amortizes to once per rollout."""
+
+        def body(s, _):
+            return self.step(s)
+
+        return jax.lax.scan(body, state, None, length=num_steps)

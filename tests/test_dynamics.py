@@ -223,3 +223,43 @@ def test_contact_terms_body_aggregation_exact(walk_qpos):
                                        atol=1e-8)
             np.testing.assert_allclose(np.asarray(J1), np.asarray(J2),
                                        atol=1e-8)
+
+
+def test_lanes_layout_matches_vmap(walk_qpos):
+    """The env-last ("lanes") layout (dynamics_lanes.py) is the vmap path
+    exactly, component by component and through a full implicitly-damped
+    substep (f64, 1e-9). The vmap path itself is machine-exact vs MuJoCo
+    (tests above), so this transitively pins the lanes layout too."""
+    from deepmimic_diffusion_mujoco_tpu.physics import dynamics_lanes as L
+
+    rng = np.random.default_rng(2)
+    with jax.enable_x64(True):
+        n = 6
+        idx = (np.arange(n) * 5) % len(walk_qpos)
+        qpos = walk_qpos[idx].copy()
+        qpos[::2, 2] -= 0.3  # activate contacts on some instances
+        qvel = rng.normal(size=(n, 34)) * 1.5
+        tau = rng.normal(size=(n, 34)) * 10.0
+        h = 0.002
+        kd = jnp.asarray(dyn.PD_KD, jnp.float64)
+
+        q_ref, v_ref = jax.vmap(lambda a, b, c: dyn.step_physics(
+            a, b, c, h, kd_extra=kd))(
+            jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(tau))
+        qT, vT = L.step_physics_lanes(
+            jnp.asarray(qpos.T), jnp.asarray(qvel.T), jnp.asarray(tau.T),
+            h, kd_extra=kd)
+        np.testing.assert_allclose(np.asarray(qT.T), np.asarray(q_ref),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(vT.T), np.asarray(v_ref),
+                                   atol=1e-6)
+
+        # DynamicsEnv lanes mode end-to-end (f32: looser)
+        eng_v = dyn.DynamicsEnv(substeps=4, layout="vmap")
+        eng_l = dyn.DynamicsEnv(substeps=4, layout="lanes")
+        q32 = jnp.asarray(qpos, jnp.float32)
+        v32 = jnp.asarray(qvel * 0.1, jnp.float32)
+        tgt = jnp.asarray(walk_qpos[(idx + 1) % len(walk_qpos)], jnp.float32)
+        qa, va = eng_v.step(q32, v32, tgt)
+        qb, vb = eng_l.step(q32, v32, tgt)
+        np.testing.assert_allclose(np.asarray(qa), np.asarray(qb), atol=5e-4)
