@@ -115,23 +115,26 @@ def bench_train(jax, jnp, extras: dict):
     train_many = make_train_many(tx, loss_fn)
 
     # device-resident input pipeline: stage K optimizer steps ahead, run the
-    # whole K-step loop as one compiled scan (zero host round-trips).
-    # K=50 measured best on the tunneled chip (154.5 vs 150.8 steps/s at
-    # K=20: the ~30 ms per-call dispatch amortizes 2.5x further); K=100's
-    # 143 MB staged transfer exceeds a tunnel device_put limit. Stage on
-    # the HOST and ship one array — stacking K device arrays on-chip hits
-    # a backend concatenate limit at K>=50.
-    K = 50
+    # whole K-step loop as one compiled scan (zero host round-trips). The
+    # tunneled chip pays ~37 ms of SERIAL dispatch per executable call
+    # (profile_train_step.py), so bigger K is strictly better; a single
+    # K=100 device_put exceeds a tunnel transfer limit and stacking 50+
+    # device arrays hits a backend concatenate limit, so stage in 50-step
+    # host chunks and 2-operand-concatenate them on device.
+    K_CHUNK, N_CHUNKS = 50, 3
+    K = K_CHUNK * N_CHUNKS
     batches = ds.epochs(32 * accum, seed=0)
 
-    def stage():
-        stack = [next(batches) for _ in range(K)]
+    def stage_chunk():
+        stack = [next(batches) for _ in range(K_CHUNK)]
         return jax.tree_util.tree_map(
             lambda *xs: jax.device_put(np.stack([np.asarray(x) for x in xs])),
             *stack,
         )
 
-    staged = stage()
+    chunks = [stage_chunk() for _ in range(N_CHUNKS)]
+    staged = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
     _log("[bench] compiling train program")
     # make_train_many is already jitted (with state donation); lower/compile
     # it directly so cost_analysis sees the real program
@@ -141,7 +144,7 @@ def bench_train(jax, jnp, extras: dict):
     # the tunneled chip's sync path intermittently stalls for tens of
     # seconds (compute itself is unaffected) — repeat the timed block and
     # report the best repetition so one stall doesn't mask real throughput
-    n_calls, reps = 3, 4
+    n_calls, reps = 2, 4
     best_dt = float("inf")
     for r in range(reps):
         t0 = time.perf_counter()
