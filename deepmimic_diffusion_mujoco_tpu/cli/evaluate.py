@@ -37,6 +37,14 @@ def main(argv=None):
              "reference version crashes on mismatched kwargs, "
              "SURVEY.md section 2.6)",
     )
+    p.add_argument(
+        "--physics", action="store_true",
+        help="also PD-track generated samples on the forward-dynamics "
+             "engine and report tracking reward / survival (physical "
+             "plausibility; the ground truth's own score prints alongside "
+             "as the reference point)",
+    )
+    p.add_argument("--physics-horizon", type=int, default=15)
     args = p.parse_args(argv)
 
     cfg, model, sched, state, meta = load_run(args.run)
@@ -88,6 +96,19 @@ def main(argv=None):
             conditioning_fn=clamp_frame0(real[idx, 0]),
         ).trajectories
         results["motion_fid"] = {"mean": M.motion_fid(real, gen), "std": 0.0}
+    if args.physics:
+        from ..physics.plausibility import track_motions
+
+        # physics tracking consumes the 35-dim qpos track (69-dim models'
+        # velocity tail is dropped, matching save_motions' slice contract)
+        gen35 = np.asarray(sample_fn(args.num))[..., :35]
+        phys = track_motions(gen35, horizon=args.physics_horizon)["summary"]
+        gt35 = np.asarray(gt)[None, :, :35]
+        phys_gt = track_motions(gt35, horizon=args.physics_horizon)["summary"]
+        results["physics_tracking"] = {
+            "generated": phys,
+            "ground_truth": phys_gt,
+        }
     text = json.dumps(results, indent=2)
     print(text)
     if args.json_out:

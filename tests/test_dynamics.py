@@ -263,3 +263,31 @@ def test_lanes_layout_matches_vmap(walk_qpos):
         qa, va = eng_v.step(q32, v32, tgt)
         qb, vb = eng_l.step(q32, v32, tgt)
         np.testing.assert_allclose(np.asarray(qa), np.asarray(qb), atol=5e-4)
+
+
+def test_physics_plausibility_score_discriminates(walk_qpos):
+    """track_motions scores the real walk clip high and a joint-scrambled
+    fake motion low — the plausibility metric actually discriminates."""
+    from deepmimic_diffusion_mujoco_tpu.physics.plausibility import (
+        track_motions,
+    )
+
+    T = 13
+    real = walk_qpos[:T].astype(np.float32)
+    rng = np.random.default_rng(0)
+    fake = real.copy()
+    fake[:, 7:] = rng.uniform(-1.5, 1.5, size=fake[:, 7:].shape)
+
+    res = track_motions(np.stack([real, fake]), horizon=T - 1)
+    r_real, r_fake = res["reward_auc"]
+    assert np.isfinite(res["reward_curve"]).all()
+    assert r_real > 0.55, r_real
+    assert r_fake < r_real - 0.2, (r_real, r_fake)
+    s = res["summary"]
+    assert set(s) == {
+        "physics_reward_mean", "physics_reward_std", "physics_reward_auc",
+        "physics_survived_frac", "physics_survival_steps_mean",
+    }
+    # single-motion (T, 35) convenience shape
+    one = track_motions(real, horizon=6)
+    assert one["reward_mean"].shape == (1,)
