@@ -646,21 +646,25 @@ class DynamicsEnv:
     reference integrator timestep 0.002 (dp_env_v2.xml:9).
 
     `layout` selects the batching strategy:
-      - "vmap" (default): env axis leading via jax.vmap over the
+      - "aba" (default): O(n) Featherstone — world-frame RNEA bias + a
+        zero-velocity articulated-body solve — in env-last layout
+        (dynamics_aba.py). Removes the Jacobians, the CRB mass matrix,
+        the nested-jvp bias replays and the 34x34 Cholesky that made the
+        dense substep materialization-bound (the round-2 roofline note).
+      - "vmap": dense engine, env axis leading via jax.vmap over the
         single-env functions (the MuJoCo-parity reference path).
-      - "lanes": env-last structure-of-arrays (dynamics_lanes.py) — the
-        env axis rides the 128-wide TPU lane dimension; state transposes
-        once per control step at the scan boundary. Measured equivalent
-        to vmap end-to-end on v5e (the substep is bound by materialized
-        intermediates between fusions, not tile padding — see
-        dynamics_lanes.py docstring for the measured analysis).
-    Both are the same math; parity is tested to ~1e-12 in f64."""
+      - "lanes": the dense engine in env-last structure-of-arrays
+        (dynamics_lanes.py); measured equivalent to vmap on v5e (the
+        dense substep is bound by materialized intermediates between
+        fusions, not tile padding).
+    All are the same math; parity is tested to ~1e-9 in f64, and the
+    vmap path is machine-exact against MuJoCo mj_forward/mj_step."""
 
     def __init__(self, dt: float = 1.0 / 30.0, substeps: int = 17,
                  kp_scale: float = 1.0, kd_scale: float = 1.0,
                  contacts: bool = True, limits: bool = True,
-                 layout: str = "vmap"):
-        if layout not in ("lanes", "vmap"):
+                 layout: str = "aba"):
+        if layout not in ("aba", "lanes", "vmap"):
             raise ValueError(layout)
         self.dt = dt
         self.substeps = substeps
@@ -677,8 +681,13 @@ class DynamicsEnv:
         recomputed every substep against the fixed target."""
         kd = jnp.asarray(PD_KD, qpos.dtype) * self.kd_scale
 
-        if self.layout == "lanes":
+        if self.layout in ("lanes", "aba"):
             from . import dynamics_lanes as DL
+
+            if self.layout == "aba":
+                from .dynamics_aba import step_physics_aba as step_T
+            else:
+                step_T = DL.step_physics_lanes
 
             tgt_T = target_qpos.T
 
@@ -686,7 +695,7 @@ class DynamicsEnv:
                 qp_T, qv_T = carry
                 tau_T = DL.pd_torques_lanes(
                     qp_T, qv_T, tgt_T, self.kp_scale, self.kd_scale)
-                qp_T, qv_T = DL.step_physics_lanes(
+                qp_T, qv_T = step_T(
                     qp_T, qv_T, tau_T, self.h, contacts=self.contacts,
                     limits=self.limits, kd_extra=kd,
                 )

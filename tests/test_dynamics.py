@@ -265,6 +265,59 @@ def test_lanes_layout_matches_vmap(walk_qpos):
         np.testing.assert_allclose(np.asarray(qa), np.asarray(qb), atol=5e-4)
 
 
+def test_aba_matches_dense_engine(walk_qpos):
+    """The O(n) Featherstone path (dynamics_aba.py: world-frame RNEA bias +
+    zero-velocity articulated-body solve, env-last) equals the dense engine
+    — same qacc in every mode (contacts/limits on/off, explicit and
+    implicitly-damped) and through a full substep, at 1e-8 in f64. The
+    dense engine is machine-exact vs MuJoCo (tests above), so this
+    transitively pins ABA to MuJoCo too."""
+    from deepmimic_diffusion_mujoco_tpu.physics import dynamics_aba as aba
+
+    rng = np.random.default_rng(3)
+    with jax.enable_x64(True):
+        n = 6
+        idx = (np.arange(n) * 7) % len(walk_qpos)
+        qpos = walk_qpos[idx].copy()
+        qpos[::2, 2] -= 0.3  # activate contacts on some instances
+        qvel = rng.normal(size=(n, 34)) * 1.5
+        tau = rng.normal(size=(n, 34)) * 10.0
+        kd = jnp.asarray(dyn.PD_KD, jnp.float64)
+        qT, vT, tT = (jnp.asarray(a.T) for a in (qpos, qvel, tau))
+
+        for contacts in (False, True):
+            for h in (0.0, 0.002):
+                ref = jax.vmap(lambda a, b, c: dyn.forward_dynamics(
+                    a, b, c, contacts=contacts, limits=True,
+                    h_implicit=h, kd_extra=kd))(
+                    jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(tau))
+                got = aba.forward_dynamics_aba(
+                    qT, vT, tT, contacts=contacts, limits=True,
+                    h_implicit=h, kd_extra=kd)
+                np.testing.assert_allclose(
+                    np.asarray(got.T), np.asarray(ref), atol=1e-8,
+                    err_msg=f"contacts={contacts} h={h}")
+
+        q1r, v1r = jax.vmap(lambda a, b, c: dyn.step_physics(
+            a, b, c, 0.002, kd_extra=kd))(
+            jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(tau))
+        q1a, v1a = aba.step_physics_aba(qT, vT, tT, 0.002, kd_extra=kd)
+        np.testing.assert_allclose(np.asarray(q1a.T), np.asarray(q1r),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(v1a.T), np.asarray(v1r),
+                                   atol=1e-9)
+
+        # DynamicsEnv aba mode (the default) end-to-end vs the vmap engine
+        eng_v = dyn.DynamicsEnv(substeps=4, layout="vmap")
+        eng_a = dyn.DynamicsEnv(substeps=4, layout="aba")
+        q32 = jnp.asarray(qpos, jnp.float32)
+        v32 = jnp.asarray(qvel * 0.1, jnp.float32)
+        tgt = jnp.asarray(walk_qpos[(idx + 1) % len(walk_qpos)], jnp.float32)
+        qa, va = eng_v.step(q32, v32, tgt)
+        qb, vb = eng_a.step(q32, v32, tgt)
+        np.testing.assert_allclose(np.asarray(qa), np.asarray(qb), atol=5e-4)
+
+
 def test_physics_plausibility_score_discriminates(walk_qpos):
     """track_motions scores the real walk clip high and a joint-scrambled
     fake motion low — the plausibility metric actually discriminates."""
