@@ -45,6 +45,19 @@ def main(argv=None):
              "as the reference point)",
     )
     p.add_argument("--physics-horizon", type=int, default=15)
+    p.add_argument(
+        "--rmse", action="store_true",
+        help="also generate samples clamped to the ground truth's frame 0 "
+             "and report per-dim RMSE vs the clip (the BASELINE.md "
+             "sample-quality number; min over samples + mean)",
+    )
+    p.add_argument(
+        "--check", action="append", default=[], metavar="EXPR",
+        help="regression assertion on the results dict, e.g. "
+             "'sifid.mean<=2.2' or 'rmse.min<=0.02'; repeatable; any "
+             "failing check prints FAIL and exits nonzero (the BASELINE "
+             "regression gate, VERDICT round-1 item 6)",
+    )
     args = p.parse_args(argv)
 
     cfg, model, sched, state, meta = load_run(args.run)
@@ -109,11 +122,58 @@ def main(argv=None):
             "generated": phys,
             "ground_truth": phys_gt,
         }
+    if args.rmse:
+        from ..diffusion.conditioning import clamp_frame0
+
+        seed[0] += 1
+        gen = sample_loop(
+            sched, lambda x, t, y: model.apply(params, x, t, y),
+            (args.num, H, D), jax.random.PRNGKey(seed[0]),
+            mode=d.mode, predict_epsilon=not d.predict_x0,
+            clip_denoised=d.clip_denoised,
+            conditioning_fn=clamp_frame0(
+                jnp.broadcast_to(gt[0], (args.num,) + gt[0].shape)),
+        ).trajectories
+        err = jnp.sqrt(jnp.mean((gen - gt[None]) ** 2, axis=(1, 2)))
+        results["rmse"] = {
+            "min": float(err.min()), "mean": float(err.mean()),
+            "std": float(err.std()),
+        }
     text = json.dumps(results, indent=2)
     print(text)
     if args.json_out:
         with open(args.json_out, "w") as f:
             f.write(text)
+    if args.check:
+        failures = check_results(results, args.check)
+        if failures:
+            raise SystemExit(1)
+
+
+def check_results(results: dict, exprs: list[str]) -> list[str]:
+    """Evaluate 'dotted.path OP value' regression assertions against the
+    results dict (OP in <=, >=, <, >). Prints one PASS/FAIL line per check
+    and returns the failing expressions."""
+    import operator
+    import re
+
+    ops = {"<=": operator.le, ">=": operator.ge,
+           "<": operator.lt, ">": operator.gt}
+    failures = []
+    for expr in exprs:
+        m = re.match(r"^([\w.]+)\s*(<=|>=|<|>)\s*([-+0-9.eE]+)$", expr.strip())
+        if not m:
+            raise ValueError(f"bad --check expression: {expr!r}")
+        path, op, bound = m.group(1), m.group(2), float(m.group(3))
+        node = results
+        for key in path.split("."):
+            node = node[key]
+        ok = ops[op](float(node), bound)
+        print(f"{'PASS' if ok else 'FAIL'}: {path} = {float(node):.6g} "
+              f"{op} {bound:g}")
+        if not ok:
+            failures.append(expr)
+    return failures
 
 
 if __name__ == "__main__":

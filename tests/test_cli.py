@@ -79,12 +79,21 @@ def test_evaluate_cli(run_dir, tmp_path, capsys):
     out = str(tmp_path / "eval.json")
     evaluate.main([
         "--run", run_dir, "--gt", WALK, "--num", "4", "--reps", "2",
-        "--frames", "24", "--json", out,
+        "--frames", "24", "--json", out, "--rmse",
+        "--check", "sampling_rate.mean>0", "--check", "rmse.min>=0",
     ])
     with open(out) as f:
         res = json.load(f)
     assert res["sampling_rate"]["mean"] > 0
     assert "sifid" in res
+    assert res["rmse"]["min"] <= res["rmse"]["mean"]
+    # the regression gate: a violated bound exits nonzero
+    assert evaluate.check_results(res, ["sifid.mean<=1e9"]) == []
+    with pytest.raises(SystemExit):
+        evaluate.main([
+            "--run", run_dir, "--gt", WALK, "--num", "2", "--reps", "1",
+            "--frames", "24", "--check", "sampling_rate.mean<=0",
+        ])
 
 
 def test_sweep_cli(tmp_path):
