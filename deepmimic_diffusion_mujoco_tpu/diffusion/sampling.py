@@ -66,16 +66,34 @@ def _model_prediction(
     y: jnp.ndarray | None,
     cfg_scale: float | None,
     uncond_y: jnp.ndarray | None,
+    cfg_batched: bool = True,
 ) -> jnp.ndarray:
     """One (optionally CFG-guided) denoiser evaluation.
 
     CFG is the reference's lerp (diffusion_v4.py:104-115):
     pred = uncond + cfg_scale * (cond - uncond).
+
+    The reference runs cond and uncond as two sequential forwards
+    (diffusion_v4.py:104-113). On TPU a sampling batch (B<=16 typically)
+    underfeeds the MXU, so the default here stacks both branches into ONE
+    2B-batch forward (mathematically identical: the models have no
+    cross-batch coupling). `cfg_batched=False` keeps the two-call form for
+    memory-constrained shapes.
     """
-    cond = model_fn(x, t, y)
     if cfg_scale is None or uncond_y is None:
-        return cond
-    uncond = model_fn(x, t, uncond_y)
+        return model_fn(x, t, y)
+    if cfg_batched and y is not None:
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        y2 = jnp.concatenate(
+            [jnp.broadcast_to(y, t.shape), jnp.broadcast_to(uncond_y, t.shape)],
+            axis=0,
+        )
+        pred2 = model_fn(x2, t2, y2)
+        cond, uncond = pred2[: x.shape[0]], pred2[x.shape[0]:]
+    else:
+        cond = model_fn(x, t, y)
+        uncond = model_fn(x, t, uncond_y)
     return uncond + cfg_scale * (cond - uncond)
 
 
@@ -84,7 +102,7 @@ def _model_prediction(
     static_argnames=(
         "model_fn", "shape", "mode", "predict_epsilon", "prediction",
         "conditioning_fn", "t_start", "return_chain", "cfg_scale",
-        "clip_denoised", "x_sharding", "ddim_steps", "eta",
+        "clip_denoised", "x_sharding", "ddim_steps", "eta", "cfg_batched",
     ),
 )
 def sample_loop(
@@ -107,6 +125,7 @@ def sample_loop(
     x_sharding=None,
     ddim_steps: int | None = None,
     eta: float = 0.0,
+    cfg_batched: bool = True,
 ) -> SampleResult:
     """Run the full reverse chain.
 
@@ -173,7 +192,9 @@ def sample_loop(
         t_scalar, t_prev_scalar = t_pair[0], t_pair[1]
         rng, noise_rng = jax.random.split(rng)
         t = jnp.full((shape[0],), t_scalar, jnp.int32)
-        pred = _model_prediction(model_fn, x, t, y, cfg_scale, uncond_y)
+        pred = _model_prediction(
+            model_fn, x, t, y, cfg_scale, uncond_y, cfg_batched
+        )
         noise = jax.random.normal(noise_rng, shape, jnp.float32)
         x0_hat, eps_hat = _x0_and_eps(sched, x, t, pred, prediction)
         if clip_denoised:  # diffusion.py:176-177

@@ -657,14 +657,25 @@ class DynamicsEnv:
         (dynamics_lanes.py); measured equivalent to vmap on v5e (the
         dense substep is bound by materialized intermediates between
         fusions, not tile padding).
+      - "pallas": the whole control step (all substeps, PD + FK + RNEA +
+        ABA + contacts + integration) as ONE Pallas TPU kernel with every
+        intermediate resident in VMEM (dynamics_pallas.py) — removes the
+        fusion-boundary HBM traffic and per-kernel dispatch that bound the
+        "aba" path.
     All are the same math; parity is tested to ~1e-9 in f64, and the
     vmap path is machine-exact against MuJoCo mj_forward/mj_step."""
 
     def __init__(self, dt: float = 1.0 / 30.0, substeps: int = 17,
                  kp_scale: float = 1.0, kd_scale: float = 1.0,
                  contacts: bool = True, limits: bool = True,
-                 layout: str = "aba"):
-        if layout not in ("aba", "lanes", "vmap"):
+                 layout: str = "auto"):
+        if layout == "auto":
+            # the Pallas whole-control-step kernel is the measured winner on
+            # TPU (5.2M env-steps/s vs 44.5k aba at N=65536/4096, identical
+            # rewards); on CPU the Mosaic path doesn't exist and interpret
+            # mode is impractical, so fall back to the O(n) engine
+            layout = "pallas" if jax.default_backend() == "tpu" else "aba"
+        if layout not in ("aba", "lanes", "vmap", "pallas"):
             raise ValueError(layout)
         self.dt = dt
         self.substeps = substeps
@@ -680,6 +691,16 @@ class DynamicsEnv:
         """(N, 35), (N, 34), (N, 35) -> stepped (qpos, qvel). PD torques are
         recomputed every substep against the fixed target."""
         kd = jnp.asarray(PD_KD, qpos.dtype) * self.kd_scale
+
+        if self.layout == "pallas":
+            from .dynamics_pallas import control_step_pallas
+
+            return control_step_pallas(
+                qpos, qvel, target_qpos, h=self.h, substeps=self.substeps,
+                kp_scale=self.kp_scale, kd_scale=self.kd_scale,
+                contacts=self.contacts, limits=self.limits,
+                interpret=jax.default_backend() != "tpu",
+            )
 
         if self.layout in ("lanes", "aba"):
             from . import dynamics_lanes as DL

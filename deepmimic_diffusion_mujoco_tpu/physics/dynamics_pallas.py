@@ -1,0 +1,606 @@
+"""Whole-control-step Pallas TPU kernel for the forward-dynamics engine.
+
+Round-2 profiling (BASELINE.md physics roofline note) showed the dynamics
+substep is bound by *materialized intermediates between XLA fusion
+boundaries* and per-kernel dispatch: the O(n) ABA engine (dynamics_aba.py)
+still executes hundreds of small fused kernels per substep, each writing
+(6, N)/(6, 6, N) intermediates to HBM. This module removes the memory
+system from the picture entirely: ONE Pallas kernel runs the complete
+30 Hz control step — all `substeps` implicitly-damped semi-implicit Euler
+substeps, each recomputing PD torques, FK, spatial inertias, penalty
+contacts, RNEA bias and the zero-velocity ABA solve — with every
+intermediate resident in VMEM/registers. HBM traffic per control step is
+exactly qpos+qvel+target in, qpos+qvel out (~1.4 KB/env).
+
+Design (see /opt/skills/guides/pallas_guide.md):
+
+- **Component form.** A per-env scalar is a (8, C) float32 tile (the env
+  axis reshaped onto full VPU tiles: N envs -> (8, N/8)); a 3-vector is a
+  python tuple of 3 such tiles, a quaternion 4, a spatial (Plucker)
+  vector 6, a 6x6 articulated inertia a nested 6x6 list. All the tiny
+  physics dimensions (13 bodies, 28 hinge links, ~30 contact points)
+  unroll at trace time, so the kernel is pure straight-line VPU code on
+  (8, C) tiles — no gathers, no transposes, no matmuls, no relayouts.
+- **Static tables fold into the trace.** Joint axes/offsets, masses,
+  inertias, PD gains and limits become python-float literals inside the
+  kernel (zero constant operands); mixed float/array arithmetic keeps
+  structural zeros free.
+- **The substep loop is a `lax.fori_loop`** whose carry is the 69
+  component tiles, so the kernel body is traced once regardless of
+  substep count.
+
+The algebra mirrors dynamics_aba.py exactly (world-origin Featherstone:
+RNEA bias with gravity as a fictitious base acceleration, contact damping
+folded in as spatial added inertia, zero-velocity ABA as the exact
+(M + h D)^-1 solve) — parity-tested against it, which chains to the dense
+engine's machine-exactness vs MuJoCo mj_step on the reference model
+(dp_env_v2.xml; the reference itself never integrates dynamics —
+mocap_player.py:31 is kinematic-only).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.skeleton import QPOS_JOINT_SLICES
+from .dynamics import (
+    BODY_COM,
+    BODY_INERTIA,
+    BODY_MASS,
+    CONTACT_BODY,
+    CONTACT_POINT,
+    CONTACT_RADIUS,
+    LIMIT_HI,
+    LIMIT_LO,
+    NB,
+    NJ,
+    NQ,
+    NV,
+    PD_KD,
+    PD_KP,
+)
+from .dynamics_aba import LINK_PARENT, LINK_CARRIER, _BODY_LAST_LINK
+from .humanoid_model import (
+    BODIES,
+    BODY_INDEX,
+    FLOOR_FRICTION,
+    GRAVITY,
+    JOINT_ARMATURE,
+    JOINT_DAMPING,
+    JOINT_STIFFNESS,
+)
+
+__all__ = ["control_step_pallas", "control_step_components"]
+
+# Static tables as python floats (fold into the kernel trace as literals).
+_MASS = [float(m) for m in BODY_MASS]
+_COM = [[float(x) for x in c] for c in BODY_COM]
+_IB = [[[float(x) for x in row] for row in I] for I in BODY_INERTIA]
+_CBODY = [int(b) for b in CONTACT_BODY]
+_CPOINT = [[float(x) for x in p] for p in CONTACT_POINT]
+_CRAD = [float(r) for r in CONTACT_RADIUS]
+_KP = [float(k) for k in PD_KP]
+_KD = [float(k) for k in PD_KD]
+_LO = [float(v) for v in LIMIT_LO]
+_HI = [float(v) for v in LIMIT_HI]
+NC = len(_CBODY)
+
+
+# ---------------------------------------------------------------------------
+# Component-form algebra: vectors are tuples of (8, C) tiles (or python
+# floats for structural constants); all loops unroll at trace time.
+# ---------------------------------------------------------------------------
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _dot(a, b):
+    return sum(x * y for x, y in zip(a, b))
+
+
+def _add(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _sub(a, b):
+    return tuple(x - y for x, y in zip(a, b))
+
+
+def _scale(a, s):
+    return tuple(x * s for x in a)
+
+
+def _qmul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    )
+
+
+def _qrot(q, v):
+    """Rotate vec3 v by quat q: v + 2 qw (qv x v) + 2 qv x (qv x v)."""
+    qv = (q[1], q[2], q[3])
+    t = _scale(_cross(qv, v), 2.0)
+    return _add(_add(v, _scale(t, q[0])), _cross(qv, t))
+
+
+def _rotmat(q):
+    """Quat -> rotation matrix rows R[i][k] (world image of e_k, comp i)."""
+    w, x, y, z = q
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return [
+        [1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy)],
+        [2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)],
+        [2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)],
+    ]
+
+
+def _mcross(a, b):
+    """Spatial motion cross product a x_m b (6-tuples, [w; vO] order)."""
+    w, vo = a[:3], a[3:]
+    top = _cross(w, b[:3])
+    bot = _add(_cross(w, b[3:]), _cross(vo, b[:3]))
+    return top + bot
+
+
+def _fcross(a, f):
+    """Spatial force cross product a x* f ([n; f] force order)."""
+    w, vo = a[:3], a[3:]
+    top = _add(_cross(w, f[:3]), _cross(vo, f[3:]))
+    bot = _cross(w, f[3:])
+    return top + bot
+
+
+def _mat6vec(M, v):
+    """6x6 (nested list, possibly float entries) @ 6-tuple."""
+    return tuple(_dot(M[i], v) for i in range(6))
+
+
+def _mat6_add(A, B):
+    return [[A[i][j] + B[i][j] for j in range(6)] for i in range(6)]
+
+
+def _mat6_zero():
+    return [[0.0] * 6 for _ in range(6)]
+
+
+def _spatial_inertia(b, quat, com_w):
+    """Body b's spatial inertia about the world origin, [n;f]/[w;v] coords:
+    [[I_c + m cx cx^T, m cx], [-(m cx), m 1]] (dynamics_aba._spatial_inertias).
+    """
+    m = _MASS[b]
+    R = _rotmat(quat)
+    Ib = _IB[b]
+    # I_w = R I_b R^T, unrolled with static I_b entries (skip exact zeros)
+    tmp = [[sum(R[i][k] * Ib[k][l] for k in range(3) if Ib[k][l] != 0.0)
+            for l in range(3)] for i in range(3)]
+    Iw = [[sum(tmp[i][l] * R[j][l] for l in range(3)) for j in range(3)]
+          for i in range(3)]
+    c = com_w
+    cc = _dot(c, c)
+    # A = I_w + m (|c|^2 I - c c^T);  TR = m skew(c);  BR = m I
+    ctil = [
+        [0.0, -c[2], c[1]],
+        [c[2], 0.0, -c[0]],
+        [-c[1], c[0], 0.0],
+    ]
+    M = _mat6_zero()
+    for i in range(3):
+        for j in range(3):
+            A_ij = Iw[i][j] + m * ((cc if i == j else 0.0) - c[i] * c[j])
+            M[i][j] = A_ij
+            M[i][3 + j] = m * ctil[i][j]
+            M[3 + i][j] = -m * ctil[i][j]
+            M[3 + i][3 + j] = m if i == j else 0.0
+    return M
+
+
+def _chol_solve6(A, b):
+    """Solve the SPD 6x6 system A x = b (nested-list component form)."""
+    L = [[None] * 6 for _ in range(6)]
+    for j in range(6):
+        s = A[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        inv = jax.lax.rsqrt(s)
+        L[j][j] = inv  # store 1/L_jj
+        for i in range(j + 1, 6):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s * L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s * L[i][i]
+    return tuple(x)
+
+
+# ---------------------------------------------------------------------------
+# FK in component form (mirrors dynamics_lanes.fk_lanes / dynamics.fk_dynamics)
+# ---------------------------------------------------------------------------
+
+
+def _fk(qp):
+    """qp: list of 35 tiles -> (pos[NB] vec3, quat[NB] quat4, com[NB] vec3,
+    axis[NJ] vec3, anchor[NJ] vec3)."""
+    inv = jax.lax.rsqrt(qp[3] * qp[3] + qp[4] * qp[4]
+                        + qp[5] * qp[5] + qp[6] * qp[6])
+    rq = (qp[3] * inv, qp[4] * inv, qp[5] * inv, qp[6] * inv)
+    pos = [None] * NB
+    quat = [None] * NB
+    pos[0] = (qp[0], qp[1], qp[2])
+    quat[0] = rq
+    axes, anchors = [], []
+    li = 0
+    for bi, b in enumerate(BODIES[1:], start=1):
+        sl = QPOS_JOINT_SLICES[b.name]
+        assert sl.start == 7 + li, (b.name, sl, li)
+        parent = BODY_INDEX[b.parent]
+        offset = tuple(float(x) for x in b.offset)
+        q_local = (1.0, 0.0, 0.0, 0.0)
+        t_local = (0.0, 0.0, 0.0)
+        for k, hinge in enumerate(b.joints):
+            a_k = tuple(float(x) for x in hinge.axis)
+            p_k = tuple(float(x) for x in hinge.pos)
+            axes.append(_qrot(quat[parent], _qrot(q_local, a_k)))
+            anchors.append(_add(
+                pos[parent],
+                _qrot(quat[parent], _add(_add(offset, t_local),
+                                         _qrot(q_local, p_k))),
+            ))
+            half = 0.5 * qp[7 + li]
+            ch, sh = jnp.cos(half), jnp.sin(half)
+            qk = (ch, sh * a_k[0], sh * a_k[1], sh * a_k[2])
+            tk = _sub(p_k, _qrot(qk, p_k))
+            t_local = _add(t_local, _qrot(q_local, tk))
+            q_local = _qmul(q_local, qk)
+            li += 1
+        pos[bi] = _add(pos[parent], _qrot(quat[parent], _add(offset, t_local)))
+        quat[bi] = _qmul(quat[parent], q_local)
+    com = [
+        _add(pos[b], _qrot(quat[b], tuple(_COM[b]))) for b in range(NB)
+    ]
+    return pos, quat, com, axes, anchors
+
+
+# ---------------------------------------------------------------------------
+# One substep (component form): same semantics as dynamics_aba.step_physics_aba
+# with PD torques recomputed inside (DynamicsEnv.step's sub-loop body).
+# ---------------------------------------------------------------------------
+
+
+def _substep(qp, qv, tgt, h, kp_scale, kd_scale, contacts, limits):
+    pos, quat, com, S_ax, S_anch = _fk(qp)
+
+    # ---- joint-space applied torques: PD + passive (+ limits) ------------
+    rhs_j = [None] * NJ
+    for i in range(NJ):
+        q_i, qd_i, t_i = qp[7 + i], qv[6 + i], tgt[7 + i]
+        tau = (_KP[i] * kp_scale) * (t_i - q_i) - (_KD[i] * kd_scale) * qd_i
+        tau = tau - JOINT_STIFFNESS * q_i - JOINT_DAMPING * qd_i
+        if limits:
+            over = jnp.maximum(q_i - _HI[i], 0.0)
+            under = jnp.maximum(_LO[i] - q_i, 0.0)
+            gate = ((over > 0) | (under > 0)).astype(q_i.dtype)
+            tau = tau - 300.0 * over + 300.0 * under - 3.0 * qd_i * gate
+        rhs_j[i] = tau
+
+    # ---- motion subspaces (world-origin Plucker) --------------------------
+    q0 = quat[0]
+    p_r = pos[0]
+    zero = 0.0
+    S_root = []
+    for k in range(3):  # world translations
+        e = [0.0, 0.0, 0.0]
+        e[k] = 1.0
+        S_root.append((zero, zero, zero, e[0], e[1], e[2]))
+    for k in range(3):  # body-frame rotation axes (MuJoCo free joint)
+        e = [0.0, 0.0, 0.0]
+        e[k] = 1.0
+        n_k = _qrot(q0, tuple(e))
+        S_root.append(n_k + _cross(p_r, n_k))
+    S = [S_ax[i] + _cross(S_anch[i], S_ax[i]) for i in range(NJ)]
+
+    # ---- velocity sweep ----------------------------------------------------
+    v_root = _scale(S_root[0], qv[0])
+    for k in range(1, 6):
+        v_root = _add(v_root, _scale(S_root[k], qv[k]))
+    v = [None] * NJ
+    for i in range(NJ):
+        p = int(LINK_PARENT[i])
+        vp = v_root if p < 0 else v[p]
+        v[i] = _add(vp, _scale(S[i], qv[6 + i]))
+    body_v = [v_root] + [v[_BODY_LAST_LINK[b]] for b in range(1, NB)]
+
+    # ---- spatial inertias + contacts ---------------------------------------
+    I_O = [_spatial_inertia(b, quat[b], com[b]) for b in range(NB)]
+    f_ext = [None] * NB
+    I_K = [None] * NB
+    if contacts:
+        stiffness, damping, mu, v_reg = 30000.0, 1000.0, FLOOR_FRICTION, 5e-3
+        for b in range(NB):
+            f_ext[b] = (0.0,) * 6
+            I_K[b] = _mat6_zero()
+        for p in range(NC):
+            b = _CBODY[p]
+            x = _add(pos[b], _qrot(quat[b], tuple(_CPOINT[p])))
+            w_b, vO_b = body_v[b][:3], body_v[b][3:]
+            xdot = _add(vO_b, _cross(w_b, x))
+            depth = _CRAD[p] - x[2]
+            active = (depth > 0.0).astype(x[2].dtype)
+            fn = jnp.maximum(
+                stiffness * depth * active - damping * xdot[2] * active, 0.0)
+            vt0, vt1 = xdot[0], xdot[1]
+            vt_norm = jnp.sqrt(vt0 * vt0 + vt1 * vt1 + v_reg * v_reg)
+            c_t = mu * fn / vt_norm
+            f = (-c_t * vt0, -c_t * vt1, fn)
+            f_ext[b] = _add(f_ext[b], _cross(x, f) + f)
+            W = (c_t, c_t, damping * active)
+            xt = [
+                [0.0, -x[2], x[1]],
+                [x[2], 0.0, -x[0]],
+                [-x[1], x[0], 0.0],
+            ]
+            K = I_K[b]
+            for i in range(3):
+                for j in range(3):
+                    # C block: sum_k xt[i][k] W[k] xt[j][k]
+                    K[i][j] = K[i][j] + sum(
+                        xt[i][k] * W[k] * xt[j][k] for k in range(3)
+                        if not (isinstance(xt[i][k], float) and xt[i][k] == 0.0)
+                        and not (isinstance(xt[j][k], float) and xt[j][k] == 0.0)
+                    )
+                    # B block: xt[i][j] W[j]
+                    if not (isinstance(xt[i][j], float) and xt[i][j] == 0.0):
+                        bij = xt[i][j] * W[j]
+                        K[i][3 + j] = K[i][3 + j] + bij
+                        K[3 + j][i] = K[3 + j][i] + bij
+                K[3 + i][3 + i] = K[3 + i][3 + i] + W[i]
+
+    # ---- RNEA bias (gravity as fictitious base acceleration) --------------
+    a_base = (zero, zero, zero, zero, zero, GRAVITY)
+    w_rot = _scale(S_root[3], qv[3])
+    for k in (4, 5):
+        w_rot = _add(w_rot, _scale(S_root[k], qv[k]))
+    a_root_b = _add(a_base, _mcross(v_root, w_rot))
+    a = [None] * NJ
+    for i in range(NJ):
+        p = int(LINK_PARENT[i])
+        vp = v_root if p < 0 else v[p]
+        ap = a_root_b if p < 0 else a[p]
+        a[i] = _add(ap, _mcross(vp, _scale(S[i], qv[6 + i])))
+    fb = [None] * NB
+    for b in range(NB):
+        vb = body_v[b]
+        ab = a_root_b if b == 0 else a[_BODY_LAST_LINK[b]]
+        Ivb = _mat6vec(I_O[b], vb)
+        fb[b] = _add(_mat6vec(I_O[b], ab), _fcross(vb, Ivb))
+        if contacts:
+            fb[b] = _sub(fb[b], f_ext[b])
+    fl = [
+        fb[int(LINK_CARRIER[i])] if LINK_CARRIER[i] >= 0 else (0.0,) * 6
+        for i in range(NJ)
+    ]
+    tau_rnea = [None] * NJ
+    f_root = fb[0]
+    for i in reversed(range(NJ)):
+        tau_rnea[i] = _dot(S[i], fl[i])
+        p = int(LINK_PARENT[i])
+        if p < 0:
+            f_root = _add(f_root, fl[i])
+        else:
+            fl[p] = _add(fl[p], fl[i])
+
+    rhs_root = tuple(-_dot(S_root[k], f_root) for k in range(6))
+    rhs = [rhs_j[i] - tau_rnea[i] for i in range(NJ)]
+
+    # ---- zero-velocity ABA: exact solve of (M + h D) qacc = rhs ------------
+    IA = [None] * NJ
+    pA = [(0.0,) * 6 for _ in range(NJ)]
+    for i in range(NJ):
+        cb = int(LINK_CARRIER[i])
+        if cb >= 0:
+            M = I_O[cb]
+            if contacts:
+                M = _mat6_add(M, [[h * I_K[cb][r][c] for c in range(6)]
+                                  for r in range(6)])
+            IA[i] = M
+        else:
+            IA[i] = _mat6_zero()
+    IA_root = I_O[0]
+    if contacts:
+        IA_root = _mat6_add(IA_root, [[h * I_K[0][r][c] for c in range(6)]
+                                      for r in range(6)])
+    pA_root = (0.0,) * 6
+
+    U = [None] * NJ
+    d_inv = [None] * NJ
+    u = [None] * NJ
+    for i in reversed(range(NJ)):
+        d_extra = JOINT_ARMATURE + h * (JOINT_DAMPING + _KD[i] * kd_scale)
+        U[i] = _mat6vec(IA[i], S[i])
+        d_inv[i] = 1.0 / (_dot(S[i], U[i]) + d_extra)
+        u[i] = rhs[i] - _dot(S[i], pA[i])
+        Ud = _scale(U[i], d_inv[i])
+        Ia = [[IA[i][r][c] - U[i][r] * Ud[c] for c in range(6)]
+              for r in range(6)]
+        pa = _add(pA[i], _scale(U[i], u[i] * d_inv[i]))
+        p = int(LINK_PARENT[i])
+        if p < 0:
+            IA_root = _mat6_add(IA_root, Ia)
+            pA_root = _add(pA_root, pa)
+        else:
+            IA[p] = _mat6_add(IA[p], Ia)
+            pA[p] = _add(pA[p], pa)
+
+    Wk = [_mat6vec(IA_root, S_root[k]) for k in range(6)]
+    D0 = [[_dot(S_root[a_], Wk[b_]) for b_ in range(6)] for a_ in range(6)]
+    u0 = tuple(rhs_root[k] - _dot(S_root[k], pA_root) for k in range(6))
+    qdd0 = _chol_solve6(D0, u0)
+
+    a_root = _scale(S_root[0], qdd0[0])
+    for k in range(1, 6):
+        a_root = _add(a_root, _scale(S_root[k], qdd0[k]))
+    qdd = [None] * NJ
+    aL = [None] * NJ
+    for i in range(NJ):
+        p = int(LINK_PARENT[i])
+        ap = a_root if p < 0 else aL[p]
+        qdd[i] = (u[i] - _dot(U[i], ap)) * d_inv[i]
+        aL[i] = _add(ap, _scale(S[i], qdd[i]))
+
+    # ---- integrate (semi-implicit Euler, root quat on the exp map) --------
+    qv_new = [qv[k] + h * qdd0[k] for k in range(6)] + [
+        qv[6 + i] + h * qdd[i] for i in range(NJ)
+    ]
+    w0, w1, w2 = qv_new[3], qv_new[4], qv_new[5]
+    n2 = w0 * w0 + w1 * w1 + w2 * w2
+    safe = jnp.where(n2 > 1e-16, n2, 1.0)
+    norm = jnp.sqrt(safe)
+    half = 0.5 * h * norm
+    kfac = jnp.where(n2 > 1e-16, jnp.sin(half) / norm, 0.5 * h)
+    dq = (jnp.cos(half), kfac * w0, kfac * w1, kfac * w2)
+    quat_new = _qmul((qp[3], qp[4], qp[5], qp[6]), dq)
+    qinv = jax.lax.rsqrt(sum(c * c for c in quat_new))
+    qp_new = (
+        [qp[k] + h * qv_new[k] for k in range(3)]
+        + [c * qinv for c in quat_new]
+        + [qp[7 + i] + h * qv_new[6 + i] for i in range(NJ)]
+    )
+    return qp_new, qv_new
+
+
+def control_step_components(
+    qp, qv, tgt, *, h, substeps, kp_scale=1.0, kd_scale=1.0,
+    contacts=True, limits=True, unroll=False,
+):
+    """Run the full control step on component lists (any common tile shape).
+    Pure jnp — runs inside the Pallas kernel AND standalone (parity tests).
+
+    unroll=False wraps the substep in a lax.fori_loop so the ~15k-op body
+    is traced once (the kernel path). unroll=True uses a python loop so the
+    math can run EAGERLY — XLA:CPU takes many minutes to compile the
+    straight-line body, so CPU parity tests must avoid tracing it.
+    """
+    if unroll:
+        for _ in range(substeps):
+            qp, qv = _substep(
+                list(qp), list(qv), tgt, h, kp_scale, kd_scale, contacts,
+                limits)
+        return list(qp), list(qv)
+
+    def body(_, carry):
+        qp, qv = carry
+        qp, qv = _substep(
+            list(qp), list(qv), tgt, h, kp_scale, kd_scale, contacts, limits)
+        return tuple(qp), tuple(qv)
+
+    qp, qv = jax.lax.fori_loop(
+        0, substeps, body, (tuple(qp), tuple(qv)))
+    return list(qp), list(qv)
+
+
+# ---------------------------------------------------------------------------
+# Pallas wrapper
+# ---------------------------------------------------------------------------
+
+
+def _kernel(qp_ref, qv_ref, tgt_ref, qp_out, qv_out, *, h, substeps,
+            kp_scale, kd_scale, contacts, limits, unroll):
+    qp = [qp_ref[k] for k in range(NQ)]
+    qv = [qv_ref[k] for k in range(NV)]
+    tgt = [tgt_ref[k] for k in range(NQ)]
+    qp, qv = control_step_components(
+        qp, qv, tgt, h=h, substeps=substeps, kp_scale=kp_scale,
+        kd_scale=kd_scale, contacts=contacts, limits=limits, unroll=unroll,
+    )
+    for k in range(NQ):
+        qp_out[k] = qp[k]
+    for k in range(NV):
+        qv_out[k] = qv[k]
+
+
+def control_step_pallas(
+    qpos, qvel, target, *, h, substeps, kp_scale=1.0, kd_scale=1.0,
+    contacts=True, limits=True, block_c=256, interpret=False, unroll=False,
+):
+    """One 30 Hz control step for N envs: (N, 35), (N, 34), (N, 35) ->
+    (qpos', qvel'). The whole `substeps`-substep integration runs as one
+    Pallas kernel per env block; PD torques toward `target` are recomputed
+    every substep (DynamicsEnv.step semantics, kd folded implicitly)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = qpos.shape[0]
+    dtype = jnp.float32
+    # env axis -> (8, C) full-VPU tiles; pad N to a multiple of 8*128 by
+    # repeating env 0 (padded lanes must stay finite: zeros would divide by
+    # a zero quaternion norm in FK)
+    unit = 8 * 128
+    Np = -(-N // unit) * unit
+    if Np != N:
+        pad = jnp.broadcast_to(qpos[0:1], (Np - N, NQ))
+        qpos = jnp.concatenate([qpos, pad], 0)
+        qvel = jnp.concatenate([qvel, jnp.zeros((Np - N, NV), qvel.dtype)], 0)
+        target = jnp.concatenate(
+            [target, jnp.broadcast_to(target[0:1], (Np - N, NQ))], 0)
+    C = Np // 8
+    qp = qpos.astype(dtype).T.reshape(NQ, 8, C)
+    qv = qvel.astype(dtype).T.reshape(NV, 8, C)
+    tgt = target.astype(dtype).T.reshape(NQ, 8, C)
+
+    cb = min(block_c, C)
+    # shrink until it divides C (C is a multiple of 128; cb stays >= 128)
+    while C % cb:
+        cb //= 2
+    grid = (C // cb,)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, 8, cb), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    qp2, qv2 = pl.pallas_call(
+        partial(_kernel, h=h, substeps=substeps, kp_scale=kp_scale,
+                kd_scale=kd_scale, contacts=contacts, limits=limits,
+                unroll=unroll),
+        grid=grid,
+        in_specs=[spec(NQ), spec(NV), spec(NQ)],
+        out_specs=[spec(NQ), spec(NV)],
+        out_shape=[
+            jax.ShapeDtypeStruct((NQ, 8, C), dtype),
+            jax.ShapeDtypeStruct((NV, 8, C), dtype),
+        ],
+        interpret=interpret,
+        # live component tiles peak above the 16M default scoped limit at
+        # block_c=512; 256 fits comfortably, the bump gives headroom
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qp, qv, tgt)
+
+    qpos_out = qp2.reshape(NQ, Np).T[:N]
+    qvel_out = qv2.reshape(NV, Np).T[:N]
+    return qpos_out, qvel_out

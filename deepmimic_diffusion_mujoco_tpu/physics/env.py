@@ -181,7 +181,7 @@ class PhysicsTrackingEnv:
     def __init__(self, qpos_clip: np.ndarray, qvel_clip: np.ndarray | None = None,
                  dt: float = 1.0 / 30.0, substeps: int = 17,
                  kp_scale: float = 1.0, kd_scale: float = 1.0,
-                 fall_height: float = 0.3, layout: str = "aba"):
+                 fall_height: float = 0.3, layout: str = "auto"):
         from .dynamics import DynamicsEnv
 
         self.motion = jnp.asarray(qpos_clip, jnp.float32)

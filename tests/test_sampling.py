@@ -175,10 +175,12 @@ def test_v4_chain_parity(monkeypatch, predict_x0, cfg):
     sched = schedules.make_schedule(kind="cosine", timesteps=T, convention="v4")
 
     def model_fn(x, t, y):
-        # mirror RefModel: unconditional (None / null label -1) -> 0.1x
+        # mirror RefModel: unconditional (None / null label -1) -> 0.1x.
+        # Per-sample branch (like a real label-embedding model) so it also
+        # works under the batched-CFG path where cond/uncond share one call.
         if y is None:
             return 0.1 * x
-        return jnp.where(y[0] < 0, 0.1 * x, 0.2 * x)
+        return jnp.where((y < 0)[:, None, None], 0.1 * x, 0.2 * x)
 
     with jax.disable_jit():
         out = sampling.sample_loop(
@@ -189,6 +191,43 @@ def test_v4_chain_parity(monkeypatch, predict_x0, cfg):
             uncond_y=jnp.full((B,), -1, jnp.int32) if cfg > 0 else None,
         ).trajectories
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4)
+
+
+def test_cfg_batched_matches_sequential():
+    """The 2B-stacked CFG forward (TPU default) must equal the reference's
+    two-sequential-forwards form on a real label-conditioned denoiser."""
+    from deepmimic_diffusion_mujoco_tpu.models.transformer import (
+        TransformerMotionModel,
+    )
+
+    model = TransformerMotionModel(
+        input_dim=D, latent_dim=32, num_layers=1, n_heads=2,
+        num_classes=3,
+    )
+    x = jnp.zeros((B, H, D))
+    params = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((B,)), jnp.zeros((B,), jnp.int32)
+    )
+
+    def model_fn(xx, tt, yy):
+        return model.apply(params, xx, tt, yy)
+
+    sched = schedules.make_schedule(kind="cosine", timesteps=T, convention="v4")
+    kw = dict(
+        mode="v4", predict_epsilon=False, cfg_scale=2.5,
+        y=jnp.ones((B,), jnp.int32),
+        uncond_y=jnp.full((B,), 3, jnp.int32),  # null label = num_classes
+    )
+    out_b = sampling.sample_loop(
+        sched, model_fn, (B, H, D), jax.random.PRNGKey(0),
+        cfg_batched=True, **kw,
+    ).trajectories
+    out_s = sampling.sample_loop(
+        sched, model_fn, (B, H, D), jax.random.PRNGKey(0),
+        cfg_batched=False, **kw,
+    ).trajectories
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_s),
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_chain_and_shapes():
