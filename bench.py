@@ -237,6 +237,31 @@ def bench_sampling(jax, jnp, extras: dict):
     extras["sample_transformer_vs_baseline"] = round(
         sps / BASELINE_SAMPLES_PER_S, 1)
 
+    # classifier-free-guided chain (the reference's CFG inference mode,
+    # transformer_inference.py:550-605): cond+uncond stacked into ONE
+    # 2B-batch forward per step (sampling.py cfg_batched) instead of the
+    # reference's two sequential forwards
+    trc = TransformerMotionModel(input_dim=D, num_classes=9, dtype=dtype)
+    with jax.default_device(cpu):
+        tcp = trc.init(jax.random.PRNGKey(0), jnp.zeros((2, H, D)),
+                       jnp.zeros((2,)), jnp.zeros((2,), jnp.int32))
+    tcp = jax.device_put(tcp, dev)
+    yb = jnp.zeros((B,), jnp.int32)
+    fn = jax.jit(lambda rng: sampling.sample_loop(
+        sched_v4, lambda x, t, y: trc.apply(tcp, x, t, y), (B, H, D), rng,
+        mode="v4", predict_epsilon=True, cfg_scale=3.0, y=yb,
+        uncond_y=jnp.full((B,), 9, jnp.int32)).trajectories)
+    out = fn(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    best = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        out = fn(jax.random.PRNGKey(r + 1))
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    extras["sample_transformer_cfg3_bs16_T1000_samples_per_s"] = round(
+        B / best, 2)
+
 
 def bench_physics(jax, jnp, extras: dict):
     """Dynamics-mode tracking env at 4096 parallel humanoids (north-star
