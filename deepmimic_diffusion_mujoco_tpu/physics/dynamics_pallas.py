@@ -73,7 +73,12 @@ from .humanoid_model import (
     JOINT_STIFFNESS,
 )
 
-__all__ = ["control_step_pallas", "control_step_components"]
+__all__ = [
+    "control_step_pallas",
+    "control_step_components",
+    "tracking_reward_pallas",
+    "tracking_reward_components",
+]
 
 # Static tables as python floats (fold into the kernel trace as literals).
 _MASS = [float(m) for m in BODY_MASS]
@@ -244,9 +249,10 @@ def _chol_solve6(A, b):
 # ---------------------------------------------------------------------------
 
 
-def _fk(qp):
+def _fk(qp, want_dofs=True):
     """qp: list of 35 tiles -> (pos[NB] vec3, quat[NB] quat4, com[NB] vec3,
-    axis[NJ] vec3, anchor[NJ] vec3)."""
+    axis[NJ] vec3, anchor[NJ] vec3). want_dofs=False skips the per-DOF
+    axis/anchor work (the reward path needs body poses only)."""
     inv = jax.lax.rsqrt(qp[3] * qp[3] + qp[4] * qp[4]
                         + qp[5] * qp[5] + qp[6] * qp[6])
     rq = (qp[3] * inv, qp[4] * inv, qp[5] * inv, qp[6] * inv)
@@ -266,12 +272,13 @@ def _fk(qp):
         for k, hinge in enumerate(b.joints):
             a_k = tuple(float(x) for x in hinge.axis)
             p_k = tuple(float(x) for x in hinge.pos)
-            axes.append(_qrot(quat[parent], _qrot(q_local, a_k)))
-            anchors.append(_add(
-                pos[parent],
-                _qrot(quat[parent], _add(_add(offset, t_local),
-                                         _qrot(q_local, p_k))),
-            ))
+            if want_dofs:
+                axes.append(_qrot(quat[parent], _qrot(q_local, a_k)))
+                anchors.append(_add(
+                    pos[parent],
+                    _qrot(quat[parent], _add(_add(offset, t_local),
+                                             _qrot(q_local, p_k))),
+                ))
             half = 0.5 * qp[7 + li]
             ch, sh = jnp.cos(half), jnp.sin(half)
             qk = (ch, sh * a_k[0], sh * a_k[1], sh * a_k[2])
@@ -604,3 +611,158 @@ def control_step_pallas(
     qpos_out = qp2.reshape(NQ, Np).T[:N]
     qvel_out = qv2.reshape(NV, Np).T[:N]
     return qpos_out, qvel_out
+
+
+# ---------------------------------------------------------------------------
+# DeepMimic tracking reward in component form (env.tracking_reward twin):
+# weighted product-of-exponentials over pose / velocity / end-effector / COM
+# errors. Pallas-resident so the PhysicsTrackingEnv control step never
+# materializes FK products to HBM (the reward was ~1/3 of the control step
+# at large N once the dynamics kernel landed).
+# ---------------------------------------------------------------------------
+
+from ..data.skeleton import BODY_JOINTS, DOF_DEF, JOINT_WEIGHT  # noqa: E402
+from .humanoid_model import TOTAL_MASS  # noqa: E402
+
+_JW = np.asarray([JOINT_WEIGHT[j] for j in BODY_JOINTS], np.float64)
+_JW = [float(w) for w in (_JW / _JW.sum())]
+_EE_BODIES = [
+    (BODY_INDEX[b.name], tuple(float(x) for x in b.end_effector))
+    for b in BODIES if b.end_effector
+]
+_GEOMS = [
+    (bi, tuple(float(x) for x in g.com), float(g.mass))
+    for bi, b in enumerate(BODIES) for g in b.geoms
+]
+
+
+def _acos01(x):
+    """arccos for x in [0, 1] via the Abramowitz-Stegun 4.4.46 minimax
+    polynomial, |err| <= 2e-8 rad — Mosaic lowers neither acos nor atan2,
+    and this needs only sqrt/mul/add."""
+    p = (1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
+         0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911)
+    s = p[7]
+    for c in p[6::-1]:
+        s = s * x + c
+    return jnp.sqrt(jnp.maximum(1.0 - x, 0.0)) * s
+
+
+def _joint_quats_comp(qp):
+    """Per-joint LOCAL rotations as quats (env._joint_quats twin):
+    intrinsic-xyz Euler for 3-DOF joints, hinge about -y for 1-DOF."""
+    quats = []
+    for j in BODY_JOINTS:
+        sl = QPOS_JOINT_SLICES[j]
+        if DOF_DEF[j] == 3:
+            h0 = 0.5 * qp[sl.start]
+            h1 = 0.5 * qp[sl.start + 1]
+            h2 = 0.5 * qp[sl.start + 2]
+            qx = (jnp.cos(h0), jnp.sin(h0), 0.0, 0.0)
+            qy = (jnp.cos(h1), 0.0, jnp.sin(h1), 0.0)
+            qz = (jnp.cos(h2), 0.0, 0.0, jnp.sin(h2))
+            quats.append(_qmul(qx, _qmul(qy, qz)))
+        else:
+            h = 0.5 * qp[sl.start]
+            quats.append((jnp.cos(h), 0.0, -jnp.sin(h), 0.0))
+    return quats
+
+
+def _fk_reward(qp):
+    """Body poses -> (end-effector positions [4 vec3], geom-mass COM)."""
+    pos, quat, _, _, _ = _fk(qp, want_dofs=False)
+    ees = [
+        _add(pos[b], _qrot(quat[b], pt)) for b, pt in _EE_BODIES
+    ]
+    com = (0.0, 0.0, 0.0)
+    for bi, gcom, gm in _GEOMS:
+        gpos = _add(pos[bi], _qrot(quat[bi], gcom))
+        com = _add(com, _scale(gpos, gm / TOTAL_MASS))
+    return ees, com
+
+
+def tracking_reward_components(qp, qv, rqp, rqv):
+    """env.tracking_reward (Peng et al. 2018 weights) on component tiles."""
+    q = _joint_quats_comp(qp)
+    q_ref = _joint_quats_comp(rqp)
+    pose_err = 0.0
+    for j in range(len(q)):
+        dot = q[j][0] * q_ref[j][0] + q[j][1] * q_ref[j][1] \
+            + q[j][2] * q_ref[j][2] + q[j][3] * q_ref[j][3]
+        dot = jnp.clip(jnp.abs(dot), 0.0, 1.0)
+        ang = 2.0 * _acos01(dot)
+        pose_err = pose_err + _JW[j] * ang * ang
+
+    vel_err = 0.0
+    for k in range(6, NV):
+        d = qv[k] - rqv[k]
+        vel_err = vel_err + d * d
+    vel_err = vel_err / float(NV - 6)
+
+    ees, com = _fk_reward(qp)
+    ees_r, com_r = _fk_reward(rqp)
+    ee_err = 0.0
+    for e, er in zip(ees, ees_r):
+        d = _sub(e, er)
+        ee_err = ee_err + _dot(d, d)
+    ee_err = ee_err / float(len(ees))
+    dc = _sub(com, com_r)
+    com_err = _dot(dc, dc)
+
+    return (0.65 * jnp.exp(-2.0 * pose_err)
+            + 0.1 * jnp.exp(-0.1 * vel_err)
+            + 0.15 * jnp.exp(-40.0 * ee_err)
+            + 0.1 * jnp.exp(-10.0 * com_err))
+
+
+def _reward_kernel(qp_ref, qv_ref, rqp_ref, rqv_ref, out_ref):
+    qp = [qp_ref[k] for k in range(NQ)]
+    qv = [qv_ref[k] for k in range(NV)]
+    rqp = [rqp_ref[k] for k in range(NQ)]
+    rqv = [rqv_ref[k] for k in range(NV)]
+    out_ref[...] = tracking_reward_components(qp, qv, rqp, rqv)
+
+
+def tracking_reward_pallas(qpos, qvel, ref_qpos, ref_qvel, *,
+                           block_c=512, interpret=False):
+    """(N, 35), (N, 34), (N, 35), (N, 34) -> (N,) DeepMimic tracking reward
+    as one Pallas kernel (FK of both poses + joint geodesics in VMEM)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = qpos.shape[0]
+    dtype = jnp.float32
+    unit = 8 * 128
+    Np = -(-N // unit) * unit
+    if Np != N:
+        padq = jnp.broadcast_to(qpos[0:1], (Np - N, NQ))
+        qpos = jnp.concatenate([qpos, padq], 0)
+        qvel = jnp.concatenate([qvel, jnp.zeros((Np - N, NV), qvel.dtype)], 0)
+        ref_qpos = jnp.concatenate(
+            [ref_qpos, jnp.broadcast_to(ref_qpos[0:1], (Np - N, NQ))], 0)
+        ref_qvel = jnp.concatenate(
+            [ref_qvel, jnp.zeros((Np - N, NV), ref_qvel.dtype)], 0)
+    C = Np // 8
+    cb = min(block_c, C)
+    while C % cb:
+        cb //= 2
+
+    def spec(rows):
+        return pl.BlockSpec((rows, 8, cb), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _reward_kernel,
+        grid=(C // cb,),
+        in_specs=[spec(NQ), spec(NV), spec(NQ), spec(NV)],
+        out_specs=pl.BlockSpec((8, cb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, C), dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qpos.astype(dtype).T.reshape(NQ, 8, C),
+      qvel.astype(dtype).T.reshape(NV, 8, C),
+      ref_qpos.astype(dtype).T.reshape(NQ, 8, C),
+      ref_qvel.astype(dtype).T.reshape(NV, 8, C))
+    return out.reshape(Np)[:N]

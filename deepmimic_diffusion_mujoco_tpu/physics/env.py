@@ -220,7 +220,14 @@ class PhysicsTrackingEnv:
         # frozen once fallen
         qpos = jnp.where(state.done[:, None], state.qpos, qpos)
         qvel = jnp.where(state.done[:, None], state.qvel, qvel)
-        reward = tracking_reward(qpos, qvel, target, self.vel[nxt])
+        if self.engine.layout == "pallas":
+            # VMEM-resident reward twin (FK x2 + geodesics in one kernel);
+            # parity-tested against tracking_reward
+            from .dynamics_pallas import tracking_reward_pallas
+
+            reward = tracking_reward_pallas(qpos, qvel, target, self.vel[nxt])
+        else:
+            reward = tracking_reward(qpos, qvel, target, self.vel[nxt])
         fell = qpos[:, 2] < self.fall_height
         done = state.done | fell
         reward = jnp.where(done, 0.0, reward)

@@ -91,6 +91,29 @@ def test_component_math_matches_aba_f32(walk_states):
                                atol=5e-2, rtol=5e-2)
 
 
+def test_tracking_reward_components_matches_env(walk_states):
+    """The component-form tracking reward == env.tracking_reward (same
+    Peng-et-al weights, joint geodesics, geom-mass COM, end-effectors)."""
+    from deepmimic_diffusion_mujoco_tpu.physics import env as envlib
+
+    qpos, qvel, target = walk_states
+    clip = load_clip(WALK)
+    rqv = np.asarray(clip.qvel)[[1, 6, 12, 21, 28, 34, 15, 9]]
+    qp32 = jnp.asarray(qpos, jnp.float32)
+    qv32 = jnp.asarray(qvel, jnp.float32)
+    tg32 = jnp.asarray(target, jnp.float32)
+    rv32 = jnp.asarray(rqv, jnp.float32)
+    ref = envlib.tracking_reward(qp32, qv32, tg32, rv32)
+    comp = dp.tracking_reward_components(
+        [qp32[:, k][None, :] for k in range(NQ)],
+        [qv32[:, k][None, :] for k in range(NV)],
+        [tg32[:, k][None, :] for k in range(NQ)],
+        [rv32[:, k][None, :] for k in range(NV)],
+    )[0]
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.skipif(
     jax.default_backend() != "tpu"
     and not os.environ.get("RUN_PALLAS_INTERPRET"),
