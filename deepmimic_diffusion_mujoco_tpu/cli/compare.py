@@ -42,7 +42,13 @@ def compare(run_dirs, out_dir, num=4, frames=None, ema=False, gt=None,
         cfg, model, sched, state, meta = load_run(run)
         params = state.ema_params if ema else state.params
         d = cfg.diffusion
-        H = frames or cfg.model.max_seq_len
+        # default horizon: clamp to the ground-truth clip length (like the
+        # evaluate CLI) — learned absolute position slots beyond the trained
+        # horizon are untrained, so sampling at max_seq_len scores garbage
+        H = frames or (
+            min(gt_arr.qpos.shape[0], cfg.model.max_seq_len)
+            if gt_arr is not None else cfg.model.max_seq_len
+        )
         D = cfg.model.input_dim
         y = uncond_y = cfg_scale = None
         if class_id is not None and cfg.model.num_classes:
