@@ -196,10 +196,11 @@ def bench_sampling(jax, jnp, extras: dict):
     dev = jax.devices()[0]
     B, H, D, T = 16, 64, 35, 1000
 
-    def timed_chain(name, sched, model_fn, mode, T_steps, model_evals_per_t):
+    def timed_chain(name, sched, model_fn, mode, T_steps, model_evals_per_t,
+                    **sample_kw):
         fn = jax.jit(lambda rng: sampling.sample_loop(
             sched, model_fn, (B, H, D), rng, mode=mode,
-            predict_epsilon=True).trajectories)
+            predict_epsilon=True, **sample_kw).trajectories)
         out = fn(jax.random.PRNGKey(0))
         jax.block_until_ready(out)
         best = float("inf")
@@ -246,21 +247,10 @@ def bench_sampling(jax, jnp, extras: dict):
         tcp = trc.init(jax.random.PRNGKey(0), jnp.zeros((2, H, D)),
                        jnp.zeros((2,)), jnp.zeros((2,), jnp.int32))
     tcp = jax.device_put(tcp, dev)
-    yb = jnp.zeros((B,), jnp.int32)
-    fn = jax.jit(lambda rng: sampling.sample_loop(
-        sched_v4, lambda x, t, y: trc.apply(tcp, x, t, y), (B, H, D), rng,
-        mode="v4", predict_epsilon=True, cfg_scale=3.0, y=yb,
-        uncond_y=jnp.full((B,), 9, jnp.int32)).trajectories)
-    out = fn(jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
-    best = float("inf")
-    for r in range(3):
-        t0 = time.perf_counter()
-        out = fn(jax.random.PRNGKey(r + 1))
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    extras["sample_transformer_cfg3_bs16_T1000_samples_per_s"] = round(
-        B / best, 2)
+    timed_chain("transformer_cfg3_bs16_T1000", sched_v4,
+                lambda x, t, y: trc.apply(tcp, x, t, y), "v4", T - 1, 2,
+                cfg_scale=3.0, y=jnp.zeros((B,), jnp.int32),
+                uncond_y=jnp.full((B,), 9, jnp.int32))
 
 
 def bench_physics(jax, jnp, extras: dict):

@@ -536,8 +536,11 @@ def control_step_components(
 # ---------------------------------------------------------------------------
 
 
-def _kernel(qp_ref, qv_ref, tgt_ref, qp_out, qv_out, *, h, substeps,
-            kp_scale, kd_scale, contacts, limits, unroll):
+def _kernel(qp_ref, qv_ref, tgt_ref, *out_refs, h, substeps,
+            kp_scale, kd_scale, contacts, limits, unroll, reward, rqv_ref):
+    # operand order: (qp, qv, tgt[, rqv]); outputs (qp', qv'[, reward]).
+    # With reward=True the target doubles as the reference pose and rqv_ref
+    # is the 4th input ref (passed via the keyword closure).
     qp = [qp_ref[k] for k in range(NQ)]
     qv = [qv_ref[k] for k in range(NV)]
     tgt = [tgt_ref[k] for k in range(NQ)]
@@ -545,25 +548,41 @@ def _kernel(qp_ref, qv_ref, tgt_ref, qp_out, qv_out, *, h, substeps,
         qp, qv, tgt, h=h, substeps=substeps, kp_scale=kp_scale,
         kd_scale=kd_scale, contacts=contacts, limits=limits, unroll=unroll,
     )
+    qp_out, qv_out = out_refs[0], out_refs[1]
     for k in range(NQ):
         qp_out[k] = qp[k]
     for k in range(NV):
         qv_out[k] = qv[k]
+    if reward:
+        rqv = [rqv_ref[k] for k in range(NV)]
+        out_refs[2][...] = tracking_reward_components(qp, qv, tgt, rqv)
 
 
 def control_step_pallas(
-    qpos, qvel, target, *, h, substeps, kp_scale=1.0, kd_scale=1.0,
-    contacts=True, limits=True, block_c=256, interpret=False, unroll=False,
+    qpos, qvel, target, ref_qvel=None, *, h, substeps, kp_scale=1.0,
+    kd_scale=1.0, contacts=True, limits=True, block_c=256, interpret=False,
+    unroll=False,
 ):
     """One 30 Hz control step for N envs: (N, 35), (N, 34), (N, 35) ->
     (qpos', qvel'). The whole `substeps`-substep integration runs as one
     Pallas kernel per env block; PD torques toward `target` are recomputed
-    every substep (DynamicsEnv.step semantics, kd folded implicitly)."""
+    every substep (DynamicsEnv.step semantics, kd folded implicitly).
+
+    With `ref_qvel` the DeepMimic tracking reward vs (target, ref_qvel) is
+    computed INSIDE the same kernel on the post-step state (the imitation
+    env scores against the frame it tracked) and returned as a third output
+    — saving a second kernel dispatch, four (N, k) <-> (k, 8, C) layout
+    round-trips and the reward kernel's duplicate reference-pose handling
+    on the hot rollout path."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N = qpos.shape[0]
-    dtype = jnp.float32
+    if not interpret and qpos.dtype == jnp.float64:
+        raise ValueError(
+            "the compiled Pallas control step is float32; run the aba/vmap "
+            "layout (or interpret=True) for float64 verification")
+    dtype = qpos.dtype if interpret else jnp.float32
     # env axis -> (8, C) full-VPU tiles; pad N to a multiple of 8*128 by
     # repeating env 0 (padded lanes must stay finite: zeros would divide by
     # a zero quaternion norm in FK)
@@ -575,6 +594,9 @@ def control_step_pallas(
         qvel = jnp.concatenate([qvel, jnp.zeros((Np - N, NV), qvel.dtype)], 0)
         target = jnp.concatenate(
             [target, jnp.broadcast_to(target[0:1], (Np - N, NQ))], 0)
+        if ref_qvel is not None:
+            ref_qvel = jnp.concatenate(
+                [ref_qvel, jnp.zeros((Np - N, NV), ref_qvel.dtype)], 0)
     C = Np // 8
     qp = qpos.astype(dtype).T.reshape(NQ, 8, C)
     qv = qvel.astype(dtype).T.reshape(NV, 8, C)
@@ -590,26 +612,45 @@ def control_step_pallas(
         return pl.BlockSpec((rows, 8, cb), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
-    qp2, qv2 = pl.pallas_call(
-        partial(_kernel, h=h, substeps=substeps, kp_scale=kp_scale,
-                kd_scale=kd_scale, contacts=contacts, limits=limits,
-                unroll=unroll),
+    reward = ref_qvel is not None
+    in_specs = [spec(NQ), spec(NV), spec(NQ)]
+    operands = [qp, qv, tgt]
+    out_specs = [spec(NQ), spec(NV)]
+    out_shape = [
+        jax.ShapeDtypeStruct((NQ, 8, C), dtype),
+        jax.ShapeDtypeStruct((NV, 8, C), dtype),
+    ]
+    if reward:
+        in_specs.append(spec(NV))
+        operands.append(ref_qvel.astype(dtype).T.reshape(NV, 8, C))
+        out_specs.append(pl.BlockSpec((8, cb), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((8, C), dtype))
+
+    def kernel(*refs):
+        ins, outs = refs[: len(operands)], refs[len(operands):]
+        _kernel(ins[0], ins[1], ins[2], *outs, h=h, substeps=substeps,
+                kp_scale=kp_scale, kd_scale=kd_scale, contacts=contacts,
+                limits=limits, unroll=unroll, reward=reward,
+                rqv_ref=ins[3] if reward else None)
+
+    outs = pl.pallas_call(
+        kernel,
         grid=grid,
-        in_specs=[spec(NQ), spec(NV), spec(NQ)],
-        out_specs=[spec(NQ), spec(NV)],
-        out_shape=[
-            jax.ShapeDtypeStruct((NQ, 8, C), dtype),
-            jax.ShapeDtypeStruct((NV, 8, C), dtype),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         # live component tiles peak above the 16M default scoped limit at
         # block_c=512; 256 fits comfortably, the bump gives headroom
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(qp, qv, tgt)
+    )(*operands)
 
-    qpos_out = qp2.reshape(NQ, Np).T[:N]
-    qvel_out = qv2.reshape(NV, Np).T[:N]
+    qpos_out = outs[0].reshape(NQ, Np).T[:N]
+    qvel_out = outs[1].reshape(NV, Np).T[:N]
+    if reward:
+        return qpos_out, qvel_out, outs[2].reshape(Np)[:N]
     return qpos_out, qvel_out
 
 
@@ -731,7 +772,11 @@ def tracking_reward_pallas(qpos, qvel, ref_qpos, ref_qvel, *,
     from jax.experimental.pallas import tpu as pltpu
 
     N = qpos.shape[0]
-    dtype = jnp.float32
+    if not interpret and qpos.dtype == jnp.float64:
+        raise ValueError(
+            "the compiled Pallas reward kernel is float32; use "
+            "env.tracking_reward (or interpret=True) for float64")
+    dtype = qpos.dtype if interpret else jnp.float32
     unit = 8 * 128
     Np = -(-N // unit) * unit
     if Np != N:

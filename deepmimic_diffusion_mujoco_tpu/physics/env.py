@@ -216,17 +216,27 @@ class PhysicsTrackingEnv:
         Returns (state, reward)."""
         nxt = jnp.where(state.frame + 1 >= self.num_frames, 0, state.frame + 1)
         target = self.motion[nxt]
-        qpos, qvel = self.engine.step(state.qpos, state.qvel, target)
-        # frozen once fallen
-        qpos = jnp.where(state.done[:, None], state.qpos, qpos)
-        qvel = jnp.where(state.done[:, None], state.qvel, qvel)
         if self.engine.layout == "pallas":
-            # VMEM-resident reward twin (FK x2 + geodesics in one kernel);
-            # parity-tested against tracking_reward
-            from .dynamics_pallas import tracking_reward_pallas
+            # fused kernel: dynamics AND the tracking reward in ONE Pallas
+            # call (reward on the post-step state — identical to the
+            # unfused order because done instances gate to 0 below anyway);
+            # saves a dispatch + four layout round-trips per control step
+            from .dynamics_pallas import control_step_pallas
 
-            reward = tracking_reward_pallas(qpos, qvel, target, self.vel[nxt])
+            e = self.engine
+            qpos, qvel, reward = control_step_pallas(
+                state.qpos, state.qvel, target, self.vel[nxt],
+                h=e.h, substeps=e.substeps, kp_scale=e.kp_scale,
+                kd_scale=e.kd_scale, contacts=e.contacts, limits=e.limits,
+                interpret=jax.default_backend() != "tpu",
+            )
+            # frozen once fallen
+            qpos = jnp.where(state.done[:, None], state.qpos, qpos)
+            qvel = jnp.where(state.done[:, None], state.qvel, qvel)
         else:
+            qpos, qvel = self.engine.step(state.qpos, state.qvel, target)
+            qpos = jnp.where(state.done[:, None], state.qpos, qpos)
+            qvel = jnp.where(state.done[:, None], state.qvel, qvel)
             reward = tracking_reward(qpos, qvel, target, self.vel[nxt])
         fell = qpos[:, 2] < self.fall_height
         done = state.done | fell
