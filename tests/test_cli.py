@@ -62,6 +62,27 @@ def test_sample_cli_and_playback(run_dir, tmp_path, capsys):
     assert "played" in capsys.readouterr().out
 
 
+def test_compare_cli_clamps_horizon_to_gt(run_dir, tmp_path, capsys):
+    """compare-models with --gt must sample at min(gt_len, max_seq_len) —
+    learned position slots beyond the trained horizon are untrained, so the
+    old max_seq_len default scored garbage SiFID (regression for the
+    round-3 fix)."""
+    from deepmimic_diffusion_mujoco_tpu.cli import compare
+
+    out_dir = str(tmp_path / "cmp")
+    compare.main([
+        "--runs", run_dir, "--gt", WALK, "--num", "2", "--out", out_dir,
+    ])
+    with open(os.path.join(out_dir, "compare_report.json")) as f:
+        report = json.load(f)
+    entry = next(iter(report.values()))
+    # walk clip has 39 frames < max_seq_len 40 -> horizon clamps to 39
+    assert entry["frames"] == 39
+    assert "sifid" in entry
+    m = np.load(entry["motion_paths"][0])
+    assert m.shape == (39, 35)
+
+
 def test_sample_cli_cfg_and_ema(run_dir, tmp_path):
     from deepmimic_diffusion_mujoco_tpu.cli import sample
 
