@@ -661,7 +661,9 @@ class DynamicsEnv:
         ABA + contacts + integration) as ONE Pallas TPU kernel with every
         intermediate resident in VMEM (dynamics_pallas.py) — removes the
         fusion-boundary HBM traffic and per-kernel dispatch that bound the
-        "aba" path.
+        "aba" path. TPU-targeted: on other backends it falls back to
+        interpret mode, whose ~15k-op body takes XLA:CPU many minutes to
+        compile — use it there only for tiny one-off verification.
     All are the same math; parity is tested to ~1e-9 in f64, and the
     vmap path is machine-exact against MuJoCo mj_forward/mj_step."""
 

@@ -137,3 +137,16 @@ def test_pallas_call_matches_components_f32(walk_states):
         np.asarray(qp_k), np.asarray(qp_c), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(qv_k), np.asarray(qv_c), atol=1e-3, rtol=1e-3)
+
+    # fused in-kernel reward (the PhysicsTrackingEnv hot path): identical
+    # post-step state + reward parity vs the XLA reward on that state
+    from deepmimic_diffusion_mujoco_tpu.physics import env as envlib
+
+    rv32 = jnp.zeros_like(qvel32)
+    qp_f, qv_f, r_f = dp.control_step_pallas(
+        qpos32, qvel32, target32, rv32, h=H, substeps=SUBSTEPS,
+        interpret=not on_tpu, unroll=not on_tpu)
+    np.testing.assert_array_equal(np.asarray(qp_f), np.asarray(qp_k))
+    r_ref = envlib.tracking_reward(qp_f, qv_f, target32, rv32)
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_ref),
+                               atol=5e-5, rtol=5e-5)
