@@ -224,6 +224,11 @@ def bench_sampling(jax, jnp, extras: dict):
     up = jax.device_put(up, dev)
     timed_chain("unet_bs16_T1000", sched,
                 lambda x, t, y: unet.apply(up, x, t), "posterior", T, 1)
+    # strided DDIM (the low-latency serving path; the reference's respace
+    # equivalent): 50 denoise evals instead of 1000
+    timed_chain("unet_bs16_ddim50", sched,
+                lambda x, t, y: unet.apply(up, x, t), "ddim", 50, 1,
+                ddim_steps=50)
 
     # stack-B production sampler: MDM transformer latent 256 x 8 layers,
     # v4 chain T=1000 (the BASELINE 0.64 samples/s configuration)

@@ -62,7 +62,7 @@ def test_sample_cli_and_playback(run_dir, tmp_path, capsys):
     assert "played" in capsys.readouterr().out
 
 
-def test_compare_cli_clamps_horizon_to_gt(run_dir, tmp_path, capsys):
+def test_compare_cli_clamps_horizon_to_gt(run_dir, tmp_path):
     """compare-models with --gt must sample at min(gt_len, max_seq_len) —
     learned position slots beyond the trained horizon are untrained, so the
     old max_seq_len default scored garbage SiFID (regression for the
