@@ -10,21 +10,36 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
 secondary perf keys (same object, driver reads the four required fields):
 
 - flop_per_step / achieved_tflops / mfu: XLA cost-analysis FLOPs per
-  optimizer step divided by measured wall time and the chip's bf16 peak
-  (VERDICT round 1 item 4 — bench must compute MFU, not leave it to the
-  judge).
+  optimizer step divided by measured wall time and the chip's bf16 peak.
 - sampling: device-synced reverse-chain throughput for the two production
-  model families (reference metric: eval.py:44-53 sampling rate; BASELINE
-  0.64 samples/s for the transformer stack) — denoise model-evals/s and
-  samples/s, whole chain as one compiled lax.scan.
-- physics: dynamics-mode env steps/s at 4096 parallel humanoids
+  model families (reference metric: eval.py:44-53 sampling rate) — DDPM
+  T=1000, strided DDIM-50 (serving path), and the CFG-batched chain.
+- physics: dynamics-mode env steps/s at 4096 and 65536 parallel humanoids
   (BASELINE north-star config 5: >=10k env-steps/s with tracking reward).
+
+Delivery contract hardening (VERDICT round 3 item 1 — round 3's capture
+timed out inside the first TPU compile and the driver got NOTHING):
+
+- Each section runs in its own subprocess with a wall-clock deadline and
+  one retry (the tunnel to the chip intermittently hangs; a hung compile
+  in a child is killed without sinking the parent).
+- Children stream every metric to a JSON scratch file as soon as it is
+  measured, so a section that dies mid-way still contributes everything
+  it finished.
+- The persistent XLA compilation cache is enabled (.jax_cache/), so a
+  retry — or the driver's end-of-round run after this round's in-session
+  runs — skips compilation entirely.
+- The parent ALWAYS prints the final JSON line, with the primary metric
+  taken from the best section that completed (train > sampling > physics).
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -55,15 +70,21 @@ def _chip_peak_flops(dev) -> float:
     return 197e12  # assume v5e-class if unrecognizable through the tunnel
 
 
-def _flops_per_call(compiled) -> float | None:
-    """XLA cost-analysis FLOPs for one call of a compiled function."""
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca["flops"])
-    except Exception:
-        return None
+class _StreamingExtras(dict):
+    """Dict that rewrites a JSON scratch file on every insert, so the
+    parent recovers everything measured before a hang/kill."""
+
+    def __init__(self, path: str | None):
+        super().__init__()
+        self._path = path
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        if self._path:
+            tmp = self._path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(dict(self), f)
+            os.replace(tmp, self._path)
 
 
 def bench_train(jax, jnp, extras: dict):
@@ -153,6 +174,8 @@ def bench_train(jax, jnp, extras: dict):
                 state, staged, jax.random.PRNGKey(r * n_calls + i + 1))
         jax.block_until_ready(losses)
         best_dt = min(best_dt, time.perf_counter() - t0)
+        # stream the running-best so even a mid-measurement kill delivers
+        extras["train_steps_per_s"] = round((n_calls * K) / best_dt, 2)
     steps_per_s = (n_calls * K) / best_dt
 
     # FLOPs per optimizer step: count on a SINGLE-step lowering — XLA cost
@@ -171,7 +194,13 @@ def bench_train(jax, jnp, extras: dict):
             ca = ca[0]
         flop_per_step = float(ca["flops"])
     except Exception:
-        flop_per_step = _flops_per_call(compiled)  # scan body counted once
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flop_per_step = float(ca["flops"])  # scan body counted once
+        except Exception:
+            flop_per_step = None
     if flop_per_step is not None:
         achieved = flop_per_step * steps_per_s
         peak = _chip_peak_flops(jax.devices()[0])
@@ -203,13 +232,20 @@ def bench_sampling(jax, jnp, extras: dict):
             predict_epsilon=True, **sample_kw).trajectories)
         out = fn(jax.random.PRNGKey(0))
         jax.block_until_ready(out)
-        best = float("inf")
-        for r in range(3):
+        # median of 5, not best-of: the tunnel's sync path once returned a
+        # physically impossible 0.38 ms for a 50-eval DDIM chain (BENCH r4
+        # first capture) — a single bogus-fast rep must not win. Reps
+        # implying < 2 ms/call (below one tunnel dispatch) are discarded.
+        times = []
+        for r in range(5):
             t0 = time.perf_counter()
             out = fn(jax.random.PRNGKey(r + 1))
             jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        samples_per_s = B / best
+            dt = time.perf_counter() - t0
+            if dt > 2e-3:
+                times.append(dt)
+        med = sorted(times)[len(times) // 2] if times else float("inf")
+        samples_per_s = B / med
         extras[f"sample_{name}_samples_per_s"] = round(samples_per_s, 2)
         extras[f"sample_{name}_denoise_evals_per_s"] = round(
             samples_per_s * T_steps * model_evals_per_t, 0)
@@ -256,6 +292,7 @@ def bench_sampling(jax, jnp, extras: dict):
                 lambda x, t, y: trc.apply(tcp, x, t, y), "v4", T - 1, 2,
                 cfg_scale=3.0, y=jnp.zeros((B,), jnp.int32),
                 uncond_y=jnp.full((B,), 9, jnp.int32))
+    return sps
 
 
 def bench_physics(jax, jnp, extras: dict):
@@ -266,6 +303,7 @@ def bench_physics(jax, jnp, extras: dict):
 
     clip = load_clip(os.path.join(REPO, "data/motions/humanoid3d_walk.txt"))
     env = PhysicsTrackingEnv(clip.qpos, clip.qvel)
+    result = None
     # N=4096 is the cross-round comparison point; N=65536 is where the
     # whole-control-step Pallas kernel saturates the chip
     for N, key in ((4096, "physics_env_steps_per_s"),
@@ -289,34 +327,141 @@ def bench_physics(jax, jnp, extras: dict):
             jax.block_until_ready(rs)
             best = min(best, time.perf_counter() - t0)
         extras[key] = round(N * n_steps / best, 0)
+        if result is None:
+            result = N * n_steps / best
+    return result
+
+
+_SECTIONS = {
+    "train": bench_train,
+    "sampling": bench_sampling,
+    "physics": bench_physics,
+}
+
+# per-section wall-clock budget (seconds) for the FIRST attempt; the retry
+# gets the same. Warm-cache runs finish in a fraction of this.
+_SECTION_BUDGET_S = {"train": 420, "sampling": 420, "physics": 300}
 
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def _child_main(section: str, out_path: str):
+    """Run one bench section, streaming metrics to out_path as measured."""
     import jax
     import jax.numpy as jnp
 
-    _log(f"[bench] devices: {jax.devices()}")
-    extras: dict = {}
-    steps_per_s = bench_train(jax, jnp, extras)
-    _log(f"[bench] train done: {steps_per_s:.1f} steps/s")
-    for section in (bench_sampling, bench_physics):
-        try:
-            section(jax, jnp, extras)
-            _log(f"[bench] {section.__name__} done")
-        except Exception as e:  # secondary metrics must not sink the bench
-            extras[f"{section.__name__}_error"] = f"{type(e).__name__}: {e}"
+    _log(f"[bench:{section}] devices: {jax.devices()}")
+    extras = _StreamingExtras(out_path)
+    _SECTIONS[section](jax, jnp, extras)
+    extras["_section_complete"] = True
 
-    print(json.dumps({
-        "metric": "train_steps_per_s_temporal_unet_dim128_bs32x2accum",
-        "value": round(steps_per_s, 2),
-        "unit": "optimizer_steps/s/chip",
-        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
-        **extras,
-    }))
+
+def _run_section(section: str, deadline: float) -> dict:
+    """Run a section subprocess with a deadline + one retry; return extras."""
+    budget = _SECTION_BUDGET_S[section]
+    merged: dict = {}
+    for attempt in (1, 2):
+        remaining = deadline - time.monotonic()
+        if remaining < 30:
+            merged.setdefault(f"{section}_error", "global deadline exhausted")
+            break
+        tmo = min(budget, remaining)
+        out_path = os.path.join(
+            tempfile.gettempdir(), f"bench_{section}_{os.getpid()}.json")
+        if os.path.exists(out_path):
+            os.unlink(out_path)
+        env = dict(os.environ, BENCH_SECTION=section, BENCH_OUT=out_path)
+        _log(f"[bench] section {section} attempt {attempt} "
+             f"(budget {tmo:.0f}s)")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            start_new_session=True)
+        try:
+            rc = proc.wait(timeout=tmo)
+        except subprocess.TimeoutExpired:
+            rc = None
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait()
+            _log(f"[bench] section {section} attempt {attempt} TIMED OUT "
+                 f"after {tmo:.0f}s")
+        try:
+            with open(out_path) as f:
+                got = json.load(f)
+            os.unlink(out_path)
+        except (OSError, json.JSONDecodeError):
+            got = {}
+        complete = got.pop("_section_complete", False)
+        merged.update(got)
+        if rc == 0 and complete:
+            merged.pop(f"{section}_error", None)
+            return merged
+        merged[f"{section}_error"] = (
+            f"attempt {attempt}: "
+            + ("timeout" if rc is None else f"exit code {rc}"))
+    return merged
+
+
+def main():
+    # persistent compilation cache: a retried attempt (or the driver's
+    # end-of-round run after this round's in-session runs) skips the TPU
+    # compile that sank BENCH_r03 entirely
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+    section = os.environ.get("BENCH_SECTION")
+    if section:
+        _child_main(section, os.environ["BENCH_OUT"])
+        return
+
+    total_budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    deadline = time.monotonic() + total_budget
+    extras: dict = {}
+    for name in ("train", "sampling", "physics"):
+        extras.update(_run_section(name, deadline))
+        _log(f"[bench] section {name} done")
+
+    # primary metric: train steps/s if measured, else fall back to the best
+    # section that produced a number — the driver must ALWAYS get a line
+    if "train_steps_per_s" in extras:
+        steps = extras.pop("train_steps_per_s")
+        head = {
+            "metric": "train_steps_per_s_temporal_unet_dim128_bs32x2accum",
+            "value": steps,
+            "unit": "optimizer_steps/s/chip",
+            "vs_baseline": round(steps / BASELINE_STEPS_PER_S, 2),
+        }
+    elif "sample_transformer_bs16_T1000_samples_per_s" in extras:
+        sps = extras["sample_transformer_bs16_T1000_samples_per_s"]
+        head = {
+            "metric": "sampling_transformer_bs16_T1000",
+            "value": sps,
+            "unit": "samples/s/chip",
+            "vs_baseline": round(sps / BASELINE_SAMPLES_PER_S, 2),
+        }
+    elif "physics_env_steps_per_s" in extras:
+        eps = extras["physics_env_steps_per_s"]
+        head = {
+            "metric": "physics_env_steps_per_s_n4096",
+            "value": eps,
+            "unit": "env_steps/s/chip",
+            "vs_baseline": round(eps / 10000.0, 2),
+        }
+    else:
+        head = {
+            "metric": "bench_failed_all_sections",
+            "value": 0.0,
+            "unit": "none",
+            "vs_baseline": 0.0,
+        }
+    print(json.dumps({**head, **extras}))
 
 
 if __name__ == "__main__":

@@ -114,6 +114,16 @@ def main(argv=None):
         widths = [w for w in (1, 2, 4, 8, 16, 32, 64) if w <= n]
     res = measure(widths, args.batch_per_device, args.dim, args.steps)
     report = {}
+    # virtual CPU "devices" share one physical CPU: label the artifact so
+    # its efficiency column can never be quoted as a scaling result
+    # (VERDICT round-3 weak #3)
+    if jax.devices()[0].platform == "cpu":
+        report["WARNING"] = (
+            "METHODOLOGY SMOKE TEST ONLY — all devices are XLA virtual CPU "
+            "devices on one physical CPU; per-device throughput drops as "
+            "1/N by construction and 'efficiency' is physically "
+            "meaningless. Run on a real pod slice for the measurement.")
+        report["measurement_valid"] = False
     print(f"{'devices':>8} {'steps/s':>10} {'samples/s':>12} {'efficiency':>11}")
     for w in widths:
         # weak scaling (fixed batch/device): ideal keeps steps/s constant as

@@ -199,41 +199,88 @@ class LocalMHA(nn.Module):
     attn_dropout: float = 0.0
     # fused kernel ON by default: measured end-to-end >= parity at every
     # supported shape on TPU v5e (1.03-1.09x at H=128-1024, dim 512; see
-    # ops/pallas/fused_local_attention.py); unsupported cases (masks,
-    # window overrides, dropout, xpos, unaligned N) and non-TPU backends
-    # fall back to the jnp path automatically
+    # ops/pallas/fused_local_attention.py). Round 4: the kernel also covers
+    # key masks (jagged batches), attention dropout (precomputed keep-mask
+    # operand) and unaligned N <= 256 (autopad single chunk) — so it stays
+    # ON for the live training config (dance_a H=152, dropout 0.3).
+    # Remaining unsupported cases (window overrides, position-bias tables,
+    # xpos, large unaligned N) and non-TPU backends fall back to the jnp
+    # path automatically
     use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, key_mask=None, window_size=None, bias_table=None,
-                 deterministic=True):
+                 deterministic=True, cache=None, decode_pos=None):
         B, N, D = x.shape
         h, dh = self.heads, self.dim_head
         normed = nn.LayerNorm(dtype=self.dtype)(x)
         qkv = nn.Dense(3 * h * dh, use_bias=False, dtype=self.dtype)(normed)
+        if cache is not None:
+            # KV-cache incremental decode (reference
+            # transformer_local_attention.py:150-187: causal, seq_len==1,
+            # cached keys trimmed to the effective window reach). JAX
+            # re-design: a FIXED-SIZE (w*look_backward)-row ring buffer per
+            # layer so the step jits once — exact-windowsize causal
+            # attention needs exactly the last w*lb keys plus the current
+            # one. The cache holds PRE-rotary k/v and rotary is applied at
+            # fixed relative positions each step (the reference stacks the
+            # already-rotated k back into its cache and rotates it again
+            # next step, transformer_local_attention.py:160-187 — a quirk
+            # of the vendored code we deliberately do not replicate; our
+            # acceptance criterion is incremental == full-sequence causal
+            # forward, which the test enforces).
+            assert N == 1 and self.causal and self.exact_windowsize
+            assert self.use_rotary and not self.use_xpos
+            ck, cv = cache  # (B, h, w*lb, dh) raw keys/values
+            q, k, v = jnp.split(
+                qkv.reshape(B, 1, 3, h, dh).transpose(0, 3, 2, 1, 4),
+                3, axis=2)
+            q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B, h, 1, dh)
+            k_buf = jnp.concatenate([ck, k], axis=2)  # (B, h, L, dh)
+            v_buf = jnp.concatenate([cv, v], axis=2)
+            new_cache = (k_buf[:, :, 1:], v_buf[:, :, 1:])
+            L = k_buf.shape[2]
+            ang = rotary_angles(L, dh).astype(self.dtype)
+            qr = apply_rotary(q, ang[L - 1:L]) * (dh ** -0.5)
+            kr = apply_rotary(k_buf, ang)
+            sim = jnp.einsum("bhid,bhjd->bhij", qr, kr)
+            # ring-buffer slots older than the sequence start are invalid
+            valid = jnp.arange(L) >= (L - 1 - decode_pos)
+            sim = jnp.where(valid[None, None, None, :], sim, NEG_INF)
+            attn = nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v_buf)
+            out = out.transpose(0, 2, 1, 3).reshape(B, 1, h * dh)
+            return nn.Dense(D, use_bias=False, dtype=self.dtype)(out), new_cache
         w = window_size if window_size is not None else self.window_size
         dropping = self.attn_dropout > 0.0 and not deterministic
         dropout_rng = self.make_rng("dropout") if dropping else None
-        # the Pallas kernel takes no key mask, no trained-window override
-        # (mask_window_size), no position bias and no dropout, so those
-        # cases go through the jnp path for correct semantics
+        # the Pallas kernel handles key masks (jagged stack-B batches),
+        # attention dropout (precomputed kernel-layout keep mask) and
+        # unaligned N (reference autopad semantics); the remaining
+        # unsupported cases — trained-window override (mask_window_size),
+        # position-bias tables, xpos — go through the jnp path
+        from ..ops.pallas import fused_local_attention as _fk
+
         use_pallas = (
-            self.use_pallas and key_mask is None and window_size is None
-            and bias_table is None and not dropping and self.use_rotary
-            and not self.use_xpos
+            self.use_pallas and window_size is None and bias_table is None
+            and self.use_rotary and not self.use_xpos
+            and _fk.supports(N, w, self.use_xpos, self.causal)
         )
         if use_pallas:
             # round-2 fused kernel: consumes the QKV matmul output in its
             # natural (B, N, 3*h*dh) layout and emits the context in the
             # out-projection's input layout — no transposes or per-head
             # reshapes exist outside the kernel (fused_local_attention.py)
-            from ..ops.pallas.fused_local_attention import (
-                fused_qkv_local_attention,
-            )
-
-            out = fused_qkv_local_attention(
+            keep = None
+            if dropping:
+                keep = _fk.dropout_keep_mask(
+                    dropout_rng, 1.0 - self.attn_dropout, B, N, h, w,
+                    self.causal,
+                )
+            out = _fk.fused_qkv_local_attention(
                 qkv, h, dh, w, self.causal, self.exact_windowsize, True,
+                key_mask, keep, 1.0 - self.attn_dropout,
             )
         else:
             q, k, v = jnp.split(
@@ -358,10 +405,26 @@ class LocalTransformer(nn.Module):
     use_pallas: bool = True  # measured win/parity everywhere (see LocalMHA)
     dtype: jnp.dtype = jnp.float32
 
+    def init_decode_cache(self, batch: int) -> tuple:
+        """Fresh per-layer KV ring buffers for incremental decode
+        (reference `cache` arg, transformer_local_attention.py:363-426)."""
+        L = self.window_size  # look_backward == 1
+        shape = (batch, self.heads, L, self.dim_head)
+        return tuple(
+            (jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype))
+            for _ in range(self.depth)
+        )
+
     @nn.compact
     def __call__(self, x, time=None, y=None, mask=None, window_size=None,
-                 deterministic=True):
+                 deterministic=True, cache=None, decode_pos=None):
         B, N, _ = x.shape
+        decoding = cache is not None
+        if decoding:
+            # incremental decode: x is the single newest frame; the cache
+            # carries each layer's windowed KV history
+            # (transformer_local_attention.py:383-426)
+            assert N == 1 and self.causal and not self.use_global_attn
         h = nn.Dense(self.dim, dtype=self.dtype, name="pose_embed")(x)
         if time is not None:
             t = mdm_timestep_embedding(time, self.dim)
@@ -372,7 +435,10 @@ class LocalTransformer(nn.Module):
         pos = self.param(
             "pos_emb", nn.initializers.normal(1.0), (self.max_seq_len, self.dim)
         )
-        h = h + pos[None, :N, :].astype(self.dtype)
+        if decoding:
+            h = h + pos[decode_pos][None, None, :].astype(self.dtype)
+        else:
+            h = h + pos[None, :N, :].astype(self.dtype)
         if self.num_classes > 0:
             cls = nn.Embed(self.num_classes + 1, self.dim, dtype=self.dtype,
                            name="class_embed")
@@ -402,6 +468,7 @@ class LocalTransformer(nn.Module):
         )
         if use_hc:
             h = hc_lib.expand_streams(h, S)
+        new_caches = []
         for i in range(self.depth):
             if (i + 1) in gset:
                 gmha = GlobalMHA(
@@ -439,21 +506,36 @@ class LocalTransformer(nn.Module):
                 # package's init counter)
                 hin, res, beta = hc_lib.HyperConnection(
                     S, 2 * i, dtype=self.dtype, name=f"hc_attn_{i}")(h)
-                out = mha(hin, key_mask=mask, window_size=window_size,
-                          bias_table=bias_table, deterministic=deterministic)
+                if decoding:
+                    out, kv = mha(hin, deterministic=deterministic,
+                                  cache=cache[i], decode_pos=decode_pos)
+                    new_caches.append(kv)
+                else:
+                    out = mha(hin, key_mask=mask, window_size=window_size,
+                              bias_table=bias_table,
+                              deterministic=deterministic)
                 h = hc_lib.depth_connection(out, res, beta)
                 hin, res, beta = hc_lib.HyperConnection(
                     S, 2 * i + 1, dtype=self.dtype, name=f"hc_ff_{i}")(h)
                 out = ff(hin, deterministic=deterministic)
                 h = hc_lib.depth_connection(out, res, beta)
             else:
-                h = h + mha(h, key_mask=mask, window_size=window_size,
-                            bias_table=bias_table,
-                            deterministic=deterministic)
+                if decoding:
+                    out, kv = mha(h, deterministic=deterministic,
+                                  cache=cache[i], decode_pos=decode_pos)
+                    new_caches.append(kv)
+                    h = h + out
+                else:
+                    h = h + mha(h, key_mask=mask, window_size=window_size,
+                                bias_table=bias_table,
+                                deterministic=deterministic)
                 h = h + ff(h, deterministic=deterministic)
         if use_hc:
             h = hc_lib.reduce_streams(h)
 
         h = nn.LayerNorm(dtype=self.dtype)(h)
         out = nn.Dense(self.input_dim, dtype=self.dtype, name="final_layer")(h)
-        return out.astype(jnp.float32)
+        out = out.astype(jnp.float32)
+        if decoding:
+            return out, tuple(new_caches)
+        return out

@@ -20,27 +20,48 @@ Round-2.1 (after the first TPU measurement, which won at H>=256 but lost
 at the live H=128 / w=16 shape): the key set per 128-row query chunk is
 trimmed to what the window structure can actually reach —
 
-- nc == 1 (H == 128): a single block attends to itself; no neighbor
-  blocks are fetched at all (the naive version wasted 2/3 of its compute
-  on fully-masked duplicate blocks);
+- single-chunk (padded N <= 256): one block attends to itself; no
+  neighbor blocks are fetched at all (the naive version wasted 2/3 of its
+  compute on fully-masked duplicate blocks);
 - C % w == 0: neighbor contributions are w-row SLICES of the adjacent
   chunks (w = the full look-back / look-forward reach per side), so the
   key count is C + 2w instead of 3C — for w=16 that is 160 vs 384 keys
   (2.4x less MXU and VMEM work);
 - otherwise: whole-neighbor-block fallback (keys = 3C).
 
-What the fusion removes vs the XLA path (models/local_attention.py):
-the `(B, h, nw, jw, dh)` looked-around key/value tensors (a 3x HBM blowup
-at look_backward=look_forward=1), the bucketed q/k/v reshapes, and the
-per-window similarity/attention intermediates.
+Round-4 (VERDICT round-3 item 2 — the kernel must stay ON in the LIVE
+training config: dance_a H=152 with attn dropout 0.3 and stack-B padded
+batches):
+
+- unaligned N: sequences are padded to the next window multiple and run
+  as a single chunk when that padded length is <= 256 (the reference's
+  own autopad semantics, local_attention.py:124-126 — pad keys are VALID
+  zero keys exactly as in the jnp/bucketed path, so parity is exact);
+- `key_mask` operand: per-position validity (stack-B jagged batches,
+  train_transformer.py collate) applied as additional key masking inside
+  the kernel — three neighbor-sliced mask blocks mirror the qkv blocks;
+- attention-probability dropout via a precomputed `dropout_keep` operand
+  in kernel coordinates (B, Np, h*K): sampled OUTSIDE the kernel with
+  jax.random (one bernoulli fused by XLA), multiplied into the softmax
+  output in-VMEM. Passing the mask instead of in-kernel PRNG keeps the
+  forward exactly reproducible by `_jnp_chunked` (below), which gives
+  exact custom-vjp gradients and a CPU-checkable fixed-RNG parity test.
+  The mask read (1 f32 per attended pair) replaces the jnp path's
+  materialized (B,h,nw,w,jw) similarity/attention/keep tensors.
+
+`_jnp_chunked` is a pure-jnp transcription of the kernel's exact chunk
+semantics (same key slices, same masks, same rotary positions); it is the
+backward function and the non-TPU fallback whenever masks/dropout/padding
+are in play. The bucketed `_jnp_reference` remains the fallback for plain
+unsupported shapes.
 
 Rotary uses the absolute-position equivalence proved in
 local_attention_kernel.py (differences are what matter; q shifted by
 look_forward*w matches the reference's neighborhood anchoring).
 
 Semantics guards (fall back to the jnp path): xpos scaling (asymmetric
-q/k scales break the difference trick), key masks, window overrides,
-position-bias tables, attention dropout, N % 128 != 0, window > 128.
+q/k scales break the difference trick), window overrides, position-bias
+tables, padded N > 256 with N % 128 != 0, window > 128.
 
 Reference behavior: local_attention.py:104-242 (look_around windows,
 exact-window masks); integration transformer_local_attention.py:68-140.
@@ -57,9 +78,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 CHUNK = 128
+MAX_SINGLE = 256  # largest padded length run as one dense chunk
 
 # flip to run through the Pallas interpreter (CPU-testable)
 INTERPRET = False
+
+
+def _plan(N: int, w: int, causal: bool) -> dict | None:
+    """Chunking strategy for sequence length N, or None if unsupported."""
+    if w > CHUNK:
+        return None
+    lb, lf = 1, (0 if causal else 1)
+    Np = -(-N // w) * w  # reference autopad to window multiples
+    nc = Np // CHUNK
+    if Np % CHUNK == 0 and nc > 1:
+        if max(lb, lf) * w > CHUNK:
+            return None
+        P = w if CHUNK % w == 0 else CHUNK
+        return {"Np": Np, "C": CHUNK, "nc": nc, "P": P, "K": CHUNK + 2 * P}
+    if Np <= MAX_SINGLE:
+        return {"Np": Np, "C": Np, "nc": 1, "P": 0, "K": Np}
+    return None
+
+
+def supports(N: int, window_size: int, use_xpos: bool,
+             causal: bool = False) -> bool:
+    return not use_xpos and _plan(N, window_size, causal) is not None
+
+
+def dropout_keep_mask(rng, keep_prob: float, batch: int, N: int, heads: int,
+                      window_size: int, causal: bool = False,
+                      dtype=jnp.float32):
+    """Sample the kernel-layout attention-dropout keep mask (B, Np, h*K).
+
+    One i.i.d. Bernoulli(keep_prob) bit per attended (query, key) pair —
+    the same distribution the jnp path draws in bucketed layout
+    (local_attention dropout on post-softmax probabilities)."""
+    p = _plan(N, window_size, causal)
+    if p is None:
+        return None
+    shape = (batch, p["Np"], heads * p["K"])
+    return jax.random.bernoulli(rng, keep_prob, shape).astype(dtype)
 
 
 def _window_mask(ti, tj, w, lb, lf, causal, exact, invalid):
@@ -81,14 +140,18 @@ def _rot(x, cos, sin, dh):
     return x * cos + rx * sin
 
 
-def _attend_heads(qkv_c_ref, k_parts, v_parts, out_ref, bad, q_pos, k_pos,
-                  freq_ref, *, h, dh, use_rotary):
-    """Shared inner loop: per-head QK^T -> mask -> softmax -> PV.
+def _attend_heads(qkv_c_ref, kv_parts, out_ref, bad, q_pos, k_pos,
+                  freq_ref, *, h, dh, use_rotary, km_row=None,
+                  keep_ref=None, K=None, keep_prob=1.0):
+    """Shared inner loop: per-head QK^T -> mask -> softmax -> [dropout] -> PV.
 
-    k_parts/v_parts: list of (ref, col_offset_base, rows) whose row-concat
-    forms this chunk's key/value set, in k_pos order.
+    kv_parts: list of refs whose row-concat forms this chunk's key/value
+    set, in k_pos order. km_row: optional (1, K) key-validity row.
+    keep_ref: optional (1, C, h*K) dropout keep-mask block.
     """
     scale = dh ** -0.5
+    if km_row is not None:
+        bad = bad | (km_row <= 0)
     if use_rotary:
         q_ang = q_pos.astype(jnp.float32) * freq_ref[0][None, :]
         k_ang = k_pos.reshape(-1, 1).astype(jnp.float32) * freq_ref[0][None, :]
@@ -99,10 +162,10 @@ def _attend_heads(qkv_c_ref, k_parts, v_parts, out_ref, bad, q_pos, k_pos,
         o = head * dh
         q = qkv_c_ref[0, :, o:o + dh].astype(jnp.float32) * scale
         k = jnp.concatenate(
-            [r[0, :, hd + o:hd + o + dh] for r in k_parts], axis=0
+            [r[0, :, hd + o:hd + o + dh] for r in kv_parts], axis=0
         ).astype(jnp.float32)
         v = jnp.concatenate(
-            [r[0, :, 2 * hd + o:2 * hd + o + dh] for r in v_parts], axis=0
+            [r[0, :, 2 * hd + o:2 * hd + o + dh] for r in kv_parts], axis=0
         ).astype(jnp.float32)
         if use_rotary:
             q = _rot(q, q_cos, q_sin, dh)
@@ -110,27 +173,47 @@ def _attend_heads(qkv_c_ref, k_parts, v_parts, out_ref, bad, q_pos, k_pos,
         sim = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
         sim = jnp.where(bad, NEG_INF, sim)
         p = jax.nn.softmax(sim, axis=-1)
+        if keep_ref is not None:
+            kp = keep_ref[0, :, head * K:(head + 1) * K].astype(jnp.float32)
+            p = p * kp * (1.0 / keep_prob)
         out_ref[0, :, o:o + dh] = jnp.dot(
             p, v, preferred_element_type=jnp.float32
         ).astype(out_ref.dtype)
 
 
-def _kernel_single(qkv_ref, freq_ref, out_ref, *, w, lb, lf, C, h, dh,
-                   causal, exact, use_rotary):
-    """nc == 1: the whole sequence is one chunk attending to itself."""
+def _kernel_single(*refs, w, lb, lf, C, h, dh, causal, exact, use_rotary,
+                   has_km, has_keep, keep_prob):
+    """nc == 1: the whole (padded) sequence is one chunk attending to
+    itself. Ref order: qkv, [km], [keep], freq, out."""
+    it = iter(refs)
+    qkv_ref = next(it)
+    km_ref = next(it) if has_km else None
+    keep_ref = next(it) if has_keep else None
+    freq_ref = next(it)
+    out_ref = next(it)
     i_pos = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
     j_pos = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     bad = _window_mask(i_pos, j_pos, w, lb, lf, causal, exact, False)
-    _attend_heads(qkv_ref, [qkv_ref], [qkv_ref], out_ref, bad,
+    km_row = km_ref[0:1, :] if has_km else None
+    _attend_heads(qkv_ref, [qkv_ref], out_ref, bad,
                   i_pos + lf * w, j_pos, freq_ref,
-                  h=h, dh=dh, use_rotary=use_rotary)
+                  h=h, dh=dh, use_rotary=use_rotary, km_row=km_row,
+                  keep_ref=keep_ref, K=C, keep_prob=keep_prob)
 
 
-def _kernel_sliced(qkv_c_ref, qkv_p_ref, qkv_n_ref, freq_ref, out_ref,
-                   *, w, lb, lf, C, P, N, nc, h, dh, causal, exact,
-                   use_rotary):
+def _kernel_sliced(*refs, w, lb, lf, C, P, N, nc, h, dh, causal, exact,
+                   use_rotary, has_km, has_keep, keep_prob):
     """General case: keys = P-row tail of prev chunk + own chunk + P-row
-    head of next chunk (P = w slice when aligned, else full C)."""
+    head of next chunk (P = w slice when aligned, else full C).
+    Ref order: qkv_c, qkv_p, qkv_n, [km_c, km_p, km_n], [keep], freq, out."""
+    it = iter(refs)
+    qkv_c_ref, qkv_p_ref, qkv_n_ref = next(it), next(it), next(it)
+    km_c = km_p = km_n = None
+    if has_km:
+        km_c, km_p, km_n = next(it), next(it), next(it)
+    keep_ref = next(it) if has_keep else None
+    freq_ref = next(it)
+    out_ref = next(it)
     c = pl.program_id(1)
     K = C + 2 * P
     i_pos = c * C + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
@@ -146,30 +229,32 @@ def _kernel_sliced(qkv_c_ref, qkv_p_ref, qkv_n_ref, freq_ref, out_ref,
     )
     invalid = ((seg == 0) & (c == 0)) | ((seg == 2) & (c == nc - 1))
     bad = _window_mask(i_pos, j_pos, w, lb, lf, causal, exact, invalid)
-    _attend_heads(qkv_c_ref, [qkv_p_ref, qkv_c_ref, qkv_n_ref],
-                  [qkv_p_ref, qkv_c_ref, qkv_n_ref], out_ref, bad,
-                  i_pos + lf * w, j_pos, freq_ref,
-                  h=h, dh=dh, use_rotary=use_rotary)
+    km_row = None
+    if has_km:
+        km_row = jnp.concatenate(
+            [km_p[0:1, :], km_c[0:1, :], km_n[0:1, :]], axis=-1)
+    _attend_heads(qkv_c_ref, [qkv_p_ref, qkv_c_ref, qkv_n_ref], out_ref,
+                  bad, i_pos + lf * w, j_pos, freq_ref,
+                  h=h, dh=dh, use_rotary=use_rotary, km_row=km_row,
+                  keep_ref=keep_ref, K=K, keep_prob=keep_prob)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 9))
 def fused_qkv_local_attention(
     qkv, heads, dim_head, window_size, causal=False, exact_windowsize=True,
-    use_rotary=True,
+    use_rotary=True, key_mask=None, dropout_keep=None, keep_prob=1.0,
 ):
     """(B, N, 3*h*dh) qkv -> (B, N, h*dh) attention context, all heads.
 
     Drop-in for the reshape -> local_attention -> reshape sequence in
-    LocalMHA when rotary (non-xpos) positions are in use.
+    LocalMHA when rotary (non-xpos) positions are in use. `key_mask` is
+    (B, N) with >0 marking valid positions; `dropout_keep` is the
+    kernel-layout keep mask from `dropout_keep_mask` (pass `keep_prob`
+    for the 1/p rescale).
     """
     return _forward(qkv, heads, dim_head, window_size, causal,
-                    exact_windowsize, use_rotary)
-
-
-def supports(N: int, window_size: int, use_xpos: bool) -> bool:
-    lb, lf = 1, 1
-    return (not use_xpos and N % CHUNK == 0
-            and max(lb, lf) * window_size <= CHUNK and N % window_size == 0)
+                    exact_windowsize, use_rotary, key_mask, dropout_keep,
+                    keep_prob)
 
 
 def _jnp_reference(qkv, heads, dim_head, window_size, causal,
@@ -188,50 +273,172 @@ def _jnp_reference(qkv, heads, dim_head, window_size, causal,
     return out.transpose(0, 2, 1, 3).reshape(B, N, h * dh)
 
 
+def _chunk_index_sets(plan, causal):
+    """Static (nc, K) key-row indices + (nc, 1, K) invalid flags + masks."""
+    Np, C, nc, P, K = (plan[k] for k in ("Np", "C", "nc", "P", "K"))
+    if nc == 1:
+        idx = np.arange(Np)[None, :]
+        invalid = np.zeros((1, 1, K), bool)
+    else:
+        rows, invs = [], []
+        seg = ((np.arange(K) >= P).astype(int)
+               + (np.arange(K) >= P + C).astype(int))
+        for c in range(nc):
+            ps = max(c * C - P, 0)
+            ns = min((c + 1) * C, Np - P)
+            rows.append(np.concatenate([
+                np.arange(ps, ps + P),
+                np.arange(c * C, (c + 1) * C),
+                np.arange(ns, ns + P),
+            ]))
+            invs.append(((seg == 0) & (c == 0))
+                        | ((seg == 2) & (c == nc - 1)))
+        idx = np.stack(rows)
+        invalid = np.stack(invs)[:, None, :]
+    return idx, invalid
+
+
+def _rot_abs(x, pos, dh):
+    """Rotary at absolute positions, matching the in-kernel formula
+    exactly. x: (B, Np, h, dh); pos: (Np,) numpy."""
+    inv = 1.0 / (10000.0 ** (np.arange(0, dh, 2, dtype=np.float32) / dh))
+    freqs = np.concatenate([inv, inv])
+    ang = jnp.asarray(pos.astype(np.float32)[:, None] * freqs[None, :])
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., : dh // 2], x[..., dh // 2:]
+    rx = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[None, :, None, :] + rx * sin[None, :, None, :]
+
+
+def _jnp_chunked(qkv, key_mask, dropout_keep, heads, dim_head, window_size,
+                 causal, exact_windowsize, use_rotary, keep_prob):
+    """Pure-jnp transcription of the kernel's exact chunk semantics: the
+    backward function and the non-TPU fallback when masks/dropout/padding
+    are in play."""
+    B, N, _ = qkv.shape
+    h, dh, w = heads, dim_head, window_size
+    lb, lf = 1, (0 if causal else 1)
+    plan = _plan(N, w, causal)
+    assert plan is not None
+    Np, C, nc, P, K = (plan[k] for k in ("Np", "C", "nc", "P", "K"))
+    pad = Np - N
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+        if key_mask is not None:
+            key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
+    x = qkv.reshape(B, Np, 3, h, dh).astype(jnp.float32)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+    q = q * (dh ** -0.5)
+    if use_rotary:
+        q = _rot_abs(q, np.arange(Np) + lf * w, dh)
+        k = _rot_abs(k, np.arange(Np), dh)
+    idx, invalid = _chunk_index_sets(plan, causal)
+    i_pos = np.arange(Np).reshape(nc, C)[:, :, None]
+    j_pos = idx[:, None, :]
+    bad = _window_mask(i_pos, j_pos, w, lb, lf, causal, exact_windowsize,
+                       invalid)  # (nc, C, K) numpy
+    qb = q.reshape(B, nc, C, h, dh)
+    ksel = k[:, idx.reshape(-1)].reshape(B, nc, K, h, dh)
+    vsel = v[:, idx.reshape(-1)].reshape(B, nc, K, h, dh)
+    sim = jnp.einsum("bnqhd,bnkhd->bnhqk", qb, ksel)
+    sim = jnp.where(jnp.asarray(bad)[None, :, None], NEG_INF, sim)
+    if key_mask is not None:
+        kmsel = key_mask[:, idx.reshape(-1)].reshape(B, nc, K)
+        sim = jnp.where(kmsel[:, :, None, None, :] > 0, sim, NEG_INF)
+    attn = jax.nn.softmax(sim, axis=-1)
+    if dropout_keep is not None:
+        kp = dropout_keep.reshape(B, nc, C, h, K).astype(jnp.float32)
+        attn = attn * jnp.moveaxis(kp, 3, 2) * (1.0 / keep_prob)
+    out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, vsel)
+    return out.reshape(B, Np, h * dh)[:, :N].astype(qkv.dtype)
+
+
 def _forward(qkv, heads, dim_head, window_size, causal, exact_windowsize,
-             use_rotary):
+             use_rotary, key_mask, dropout_keep, keep_prob):
     B, N, three_hd = qkv.shape
     h, dh, w = heads, dim_head, window_size
     assert three_hd == 3 * h * dh
     lb, lf = 1, (0 if causal else 1)
+    plan = _plan(N, w, causal)
     on_tpu = jax.default_backend() == "tpu"
-    if not supports(N, w, use_xpos=False) or not (on_tpu or INTERPRET):
+    masked = key_mask is not None or dropout_keep is not None
+    if plan is None:
+        if masked:
+            raise ValueError(
+                "key_mask/dropout_keep need a supported chunking plan; "
+                "gate callers with supports()")
         return _jnp_reference(qkv, heads, dim_head, window_size, causal,
                               exact_windowsize, use_rotary)
-    C = CHUNK
-    nc = N // C
+    if not (on_tpu or INTERPRET):
+        if not masked and plan["Np"] == N:
+            return _jnp_reference(qkv, heads, dim_head, window_size, causal,
+                                  exact_windowsize, use_rotary)
+        return _jnp_chunked(qkv, key_mask, dropout_keep, heads, dim_head,
+                            window_size, causal, exact_windowsize,
+                            use_rotary, keep_prob)
+    Np, C, nc, P, K = (plan[k] for k in ("Np", "C", "nc", "P", "K"))
+    pad = Np - N
+    if pad:
+        # reference autopad: pad keys are VALID zero keys
+        # (local_attention.py:124-126); any key_mask is zero-padded, which
+        # masks them for jagged batches exactly as the jnp path does
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+        if key_mask is not None:
+            key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
+    if key_mask is not None:
+        key_mask = key_mask.astype(jnp.float32)
+    if dropout_keep is not None:
+        assert dropout_keep.shape == (B, Np, h * K), (
+            f"dropout_keep shape {dropout_keep.shape} != {(B, Np, h * K)}; "
+            "use dropout_keep_mask()")
 
     inv_freq = 1.0 / (10000.0 ** (np.arange(0, dh, 2, dtype=np.float32) / dh))
     freqs = jnp.asarray(np.concatenate([inv_freq, inv_freq])[None, :])
     fspec = pl.BlockSpec((1, dh), lambda i, c: (0, 0), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((B, N, h * dh), qkv.dtype)
+    out_shape = jax.ShapeDtypeStruct((B, Np, h * dh), qkv.dtype)
     out_spec = pl.BlockSpec(
         (1, C, h * dh), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
     )
+    has_km = key_mask is not None
+    has_keep = dropout_keep is not None
+    keep_spec = pl.BlockSpec((1, C, h * K), lambda i, c: (i, c, 0),
+                             memory_space=pltpu.VMEM)
 
     if nc == 1:
         kernel = functools.partial(
             _kernel_single, w=w, lb=lb, lf=lf, C=C, h=h, dh=dh,
             causal=causal, exact=exact_windowsize, use_rotary=use_rotary,
+            has_km=has_km, has_keep=has_keep, keep_prob=keep_prob,
         )
         cur = pl.BlockSpec((1, C, 3 * h * dh), lambda i, c: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+        in_specs, args = [cur], [qkv]
+        if has_km:
+            in_specs.append(pl.BlockSpec((1, C), lambda i, c: (i, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(key_mask)
+        if has_keep:
+            in_specs.append(keep_spec)
+            args.append(dropout_keep)
+        in_specs.append(fspec)
+        args.append(freqs)
+        out = pl.pallas_call(
             kernel, out_shape=out_shape, grid=(B, 1),
-            in_specs=[cur, fspec], out_specs=out_spec,
+            in_specs=in_specs, out_specs=out_spec,
             interpret=INTERPRET,
-        )(qkv, freqs)
+        )(*args)
+        return out[:, :N] if pad else out
 
     # neighbor reach is ONE window each way (lb = lf = 1): a query in this
     # chunk can touch at most the last w rows of the previous chunk and the
     # first w rows of the next, so fetch w-row slices when the chunk is
     # w-aligned, else whole neighbor chunks
-    P = w if C % w == 0 else C
-    npb = N // P  # neighbor-granularity block count
+    npb = Np // P  # neighbor-granularity block count
     cpp = C // P  # P-blocks per chunk
     kernel = functools.partial(
-        _kernel_sliced, w=w, lb=lb, lf=lf, C=C, P=P, N=N, nc=nc, h=h, dh=dh,
+        _kernel_sliced, w=w, lb=lb, lf=lf, C=C, P=P, N=Np, nc=nc, h=h, dh=dh,
         causal=causal, exact=exact_windowsize, use_rotary=use_rotary,
+        has_km=has_km, has_keep=has_keep, keep_prob=keep_prob,
     )
     cur = pl.BlockSpec((1, C, 3 * h * dh), lambda i, c: (i, c, 0),
                        memory_space=pltpu.VMEM)
@@ -245,31 +452,59 @@ def _forward(qkv, heads, dim_head, window_size, causal, exact_windowsize,
         lambda i, c: (i, jnp.minimum((c + 1) * cpp, npb - 1), 0),
         memory_space=pltpu.VMEM,
     )
-    return pl.pallas_call(
+    in_specs, args = [cur, prev, nxt], [qkv, qkv, qkv]
+    if has_km:
+        in_specs.extend([
+            pl.BlockSpec((1, C), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda i, c: (i, jnp.maximum(c * cpp - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P),
+                         lambda i, c: (i, jnp.minimum((c + 1) * cpp, npb - 1)),
+                         memory_space=pltpu.VMEM),
+        ])
+        args.extend([key_mask, key_mask, key_mask])
+    if has_keep:
+        in_specs.append(keep_spec)
+        args.append(dropout_keep)
+    in_specs.append(fspec)
+    args.append(freqs)
+    out = pl.pallas_call(
         kernel, out_shape=out_shape, grid=(B, nc),
-        in_specs=[cur, prev, nxt, fspec], out_specs=out_spec,
+        in_specs=in_specs, out_specs=out_spec,
         interpret=INTERPRET,
-    )(qkv, qkv, qkv, freqs)
+    )(*args)
+    return out[:, :N] if pad else out
 
 
 def _fwd(qkv, heads, dim_head, window_size, causal, exact_windowsize,
-         use_rotary):
+         use_rotary, key_mask, dropout_keep, keep_prob):
     out = _forward(qkv, heads, dim_head, window_size, causal,
-                   exact_windowsize, use_rotary)
-    return out, (qkv,)
+                   exact_windowsize, use_rotary, key_mask, dropout_keep,
+                   keep_prob)
+    return out, (qkv, key_mask, dropout_keep)
 
 
 def _bwd(heads, dim_head, window_size, causal, exact_windowsize, use_rotary,
-         res, g):
-    """Exact gradients by differentiating the jnp reference."""
-    (qkv,) = res
+         keep_prob, res, g):
+    """Exact gradients by differentiating the jnp transcription of the
+    kernel semantics (same chunk slices, masks and dropout keep bits)."""
+    qkv, key_mask, dropout_keep = res
+    plan = _plan(qkv.shape[1], window_size, causal)
 
-    def ref(qkv):
-        return _jnp_reference(qkv, heads, dim_head, window_size, causal,
-                              exact_windowsize, use_rotary)
+    def ref(q):
+        if plan is None:
+            return _jnp_reference(q, heads, dim_head, window_size, causal,
+                                  exact_windowsize, use_rotary)
+        return _jnp_chunked(q, key_mask, dropout_keep, heads, dim_head,
+                            window_size, causal, exact_windowsize,
+                            use_rotary, keep_prob)
 
     _, vjp = jax.vjp(ref, qkv)
-    return vjp(g)
+    (g_qkv,) = vjp(g)
+    return (g_qkv,
+            None if key_mask is None else jnp.zeros_like(key_mask),
+            None if dropout_keep is None else jnp.zeros_like(dropout_keep))
 
 
 fused_qkv_local_attention.defvjp(_fwd, _bwd)

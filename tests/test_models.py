@@ -139,6 +139,31 @@ def test_local_transformer_forward():
     assert out2.shape == (1, 24, 69)
 
 
+def test_local_transformer_kv_cache_incremental_decode():
+    """Incremental KV-cache decode (reference
+    transformer_local_attention.py:135-206,363-426) equals the
+    full-sequence causal forward frame by frame."""
+    m = la.LocalTransformer(
+        input_dim=10, max_seq_len=32, dim=32, depth=2, heads=2, dim_head=8,
+        window_size=4, causal=True, num_residual_streams=4, use_pallas=False,
+    )
+    rng = np.random.default_rng(11)
+    N = 24
+    x = jnp.asarray(rng.normal(size=(2, N, 10)), jnp.float32)
+    t = jnp.array([3, 7])
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    full = m.apply(params, x, t)
+    cache = m.init_decode_cache(2)
+    step = jax.jit(lambda xt, i, c: m.apply(
+        params, xt, t, cache=c, decode_pos=i))
+    outs = []
+    for i in range(N):
+        o, cache = step(x[:, i:i + 1], jnp.asarray(i), cache)
+        outs.append(o)
+    inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full), atol=2e-4)
+
+
 def test_decoder_model_forward():
     m = TransformerDecoderMotionModel(
         horizon=32, transition_dim=35, dim=64, n_heads=4, num_layers=2,

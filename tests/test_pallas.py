@@ -109,12 +109,130 @@ def test_fused_qkv_kernel_gradients_match_reference():
 
 
 def test_fused_qkv_kernel_fallback_unaligned():
-    B, h, N, dh, w = 1, 2, 96, 32, 16  # N % 128 != 0 -> jnp fallback
+    # round 4: N=96 now runs as a single padded chunk instead of falling
+    # back — must still match the bucketed reference exactly
+    B, h, N, dh, w = 1, 2, 96, 32, 16
     rng = np.random.default_rng(9)
     qkv = jnp.asarray(rng.normal(size=(B, N, 3 * h * dh)), jnp.float32)
     ref = FK._jnp_reference(qkv, h, dh, w, False, True, True)
     out = FK.fused_qkv_local_attention(qkv, h, dh, w, False, True, True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_qkv_unaligned_live_config_shape():
+    """The LIVE training shape (dance_a H=152, w=16) pads to 160 and runs
+    as one chunk; pad keys are valid zero keys exactly like the reference
+    autopad (local_attention.py:124-126)."""
+    B, h, N, dh, w = 2, 4, 152, 32, 16
+    rng = np.random.default_rng(21)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * h * dh)), jnp.float32)
+    assert FK.supports(N, w, use_xpos=False)
+    ref = FK._jnp_reference(qkv, h, dh, w, False, True, True)
+    ker = FK.fused_qkv_local_attention(qkv, h, dh, w, False, True, True)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("N,w", [(152, 16), (256, 16)])
+def test_fused_qkv_key_mask_parity(N, w):
+    """Key-mask operand (jagged stack-B batches): kernel == chunked
+    emulation == the bucketed jnp path with the same mask."""
+    from deepmimic_diffusion_mujoco_tpu.models.local_attention import (
+        local_attention,
+    )
+
+    B, h, dh = 2, 2, 32
+    rng = np.random.default_rng(22)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * h * dh)), jnp.float32)
+    lengths = [N - 7, N // 2]
+    km = jnp.asarray(
+        np.arange(N)[None, :] < np.asarray(lengths)[:, None], jnp.float32)
+    ker = FK.fused_qkv_local_attention(qkv, h, dh, w, False, True, True, km)
+    emu = FK._jnp_chunked(qkv, km, None, h, dh, w, False, True, True, 1.0)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(emu), atol=2e-4)
+    q, k, v = jnp.split(
+        qkv.reshape(B, N, 3, h, dh).transpose(0, 3, 2, 1, 4), 3, axis=2)
+    ref = local_attention(
+        q[:, :, 0], k[:, :, 0], v[:, :, 0], w, exact_windowsize=True,
+        use_rotary=True, key_mask=km,
+    ).transpose(0, 2, 1, 3).reshape(B, N, h * dh)
+    # only rows inside each sequence's real length are meaningful
+    valid = np.asarray(km)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(ker) * valid, np.asarray(ref) * valid, atol=2e-4)
+
+
+@pytest.mark.parametrize("N,w", [(152, 16), (256, 16)])
+def test_fused_qkv_dropout_fixed_rng_parity(N, w):
+    """Fixed-RNG dropout parity (VERDICT r3 item 2): the kernel with an
+    injected keep mask equals the jnp transcription with the same mask."""
+    B, h, dh, p_drop = 2, 2, 32, 0.3
+    rng = np.random.default_rng(23)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * h * dh)), jnp.float32)
+    keep = FK.dropout_keep_mask(
+        jax.random.PRNGKey(5), 1.0 - p_drop, B, N, h, w)
+    assert keep is not None
+    ker = FK.fused_qkv_local_attention(
+        qkv, h, dh, w, False, True, True, None, keep, 1.0 - p_drop)
+    emu = FK._jnp_chunked(
+        qkv, None, keep, h, dh, w, False, True, True, 1.0 - p_drop)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(emu), atol=2e-4)
+    # an all-ones keep mask must reproduce the no-dropout output exactly
+    ones = jnp.ones_like(keep)
+    ker1 = FK.fused_qkv_local_attention(
+        qkv, h, dh, w, False, True, True, None, ones, 1.0)
+    ker0 = FK.fused_qkv_local_attention(qkv, h, dh, w, False, True, True)
+    np.testing.assert_allclose(np.asarray(ker1), np.asarray(ker0), atol=2e-4)
+
+
+def test_fused_qkv_dropout_and_mask_gradients():
+    """custom-vjp backward replays the same keep/key masks."""
+    B, h, N, dh, w, p_drop = 1, 2, 152, 32, 16, 0.3
+    rng = np.random.default_rng(24)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * h * dh)), jnp.float32)
+    km = jnp.asarray(np.arange(N)[None, :] < N - 9, jnp.float32)
+    keep = FK.dropout_keep_mask(
+        jax.random.PRNGKey(6), 1.0 - p_drop, B, N, h, w)
+    g_ker = jax.grad(lambda q: (FK.fused_qkv_local_attention(
+        q, h, dh, w, False, True, True, km, keep, 1.0 - p_drop) ** 2).sum()
+    )(qkv)
+    g_emu = jax.grad(lambda q: (FK._jnp_chunked(
+        q, km, keep, h, dh, w, False, True, True, 1.0 - p_drop) ** 2).sum()
+    )(qkv)
+    np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_emu),
+                               atol=2e-3)
+
+
+def test_local_mha_pallas_live_training_config():
+    """LocalTransformer at the live config shape (H=152, dropout 0.3):
+    the Pallas path must stay ON, run, and match the jnp path when
+    dropout is inactive (deterministic)."""
+    from deepmimic_diffusion_mujoco_tpu.models.local_attention import (
+        LocalTransformer,
+    )
+
+    kw = dict(input_dim=8, max_seq_len=152, dim=32, depth=1, heads=2,
+              dim_head=16, window_size=16, attn_dropout=0.3, ff_dropout=0.3)
+    m_ref = LocalTransformer(use_pallas=False, **kw)
+    m_pal = LocalTransformer(use_pallas=True, **kw)
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 152, 8)), jnp.float32)
+    t = jnp.array([5, 9])
+    mask = jnp.asarray(np.arange(152)[None, :] < np.array([[152], [100]]),
+                       jnp.float32)
+    params = m_ref.init(jax.random.PRNGKey(0), x, t)
+    a = m_ref.apply(params, x, t, mask=mask, deterministic=True)
+    b = m_pal.apply(params, x, t, mask=mask, deterministic=True)
+    # fully-masked (padding) query rows are junk in both paths but junk of
+    # different key-set sizes; only real rows are contractual
+    valid = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(np.asarray(a) * valid, np.asarray(b) * valid,
+                               atol=2e-4)
+    # training mode: dropout active through the kernel path — runs, finite,
+    # and actually drops (differs from the deterministic output)
+    c = m_pal.apply(params, x, t, mask=mask, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(7)})
+    assert np.isfinite(np.asarray(c)).all()
+    assert not np.allclose(np.asarray(c), np.asarray(b), atol=1e-3)
 
 
 def test_local_mha_use_pallas_flag():
