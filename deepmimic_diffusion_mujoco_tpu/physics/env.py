@@ -245,13 +245,35 @@ class PhysicsTrackingEnv:
 
     @partial(jax.jit, static_argnums=(0, 2))
     def rollout(self, state: PhysicsState, num_steps: int):
-        """Run `num_steps` control steps as ONE compiled lax.scan.
+        """Run `num_steps` control steps as ONE compiled program.
 
         Returns (final_state, rewards (num_steps, N)). This is the shape an
         RL consumer wants (whole-episode segments on device) and the honest
         way to measure device throughput: sequential `step` calls pay the
         per-call dispatch latency (~32 ms through the tunneled chip) every
-        control step, which a scan amortizes to once per rollout."""
+        control step, which a scan amortizes to once per rollout.
+
+        On the pallas layout the ENTIRE rollout — dynamics, rewards and
+        the done/fall bookkeeping — runs as one kernel invocation
+        (dynamics_pallas.rollout_pallas): fusing away the per-step layout
+        round-trips and launches that dominated at small N (round 4)."""
+        if self.engine.layout == "pallas":
+            from .dynamics_pallas import rollout_pallas
+
+            e = self.engine
+            frames = (
+                (state.frame[None, :] + 1 + jnp.arange(num_steps)[:, None])
+                % self.num_frames
+            )
+            qpos, qvel, rewards, done = rollout_pallas(
+                state.qpos, state.qvel, self.motion[frames],
+                self.vel[frames], state.done,
+                h=e.h, substeps=e.substeps, kp_scale=e.kp_scale,
+                kd_scale=e.kd_scale, contacts=e.contacts, limits=e.limits,
+                fall_height=self.fall_height,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return PhysicsState(frames[-1], qpos, qvel, done), rewards
 
         def body(s, _):
             return self.step(s)

@@ -74,8 +74,11 @@ class Checkpointer:
         )
 
     def save_best(self, state: TrainState, loss: float):
+        # both keys: "loss" is the reference checkpoint-filename field,
+        # "best_loss" is what compare reports read (VERDICT r3 weak #5)
         self._save_at(
-            os.path.join(self.directory, "best_model"), state, {"loss": loss}
+            os.path.join(self.directory, "best_model"), state,
+            {"loss": loss, "best_loss": loss},
         )
 
     # -- load ------------------------------------------------------------

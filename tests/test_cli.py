@@ -173,6 +173,7 @@ def test_prefetch_to_device():
     assert b1.trajectories.shape == b2.trajectories.shape
 
 
+@pytest.mark.slow  # ~70s two full CLI train runs
 def test_train_resume(tmp_path):
     """Kill-and-resume: a second invocation with --resume continues from
     the saved step instead of starting over."""

@@ -246,6 +246,7 @@ def test_contact_terms_body_aggregation_exact(walk_qpos):
                                        atol=1e-8)
 
 
+@pytest.mark.slow  # ~4 min of f64 CPU compiles; parity anchor, opt-in
 def test_lanes_layout_matches_vmap(walk_qpos):
     """The env-last ("lanes") layout (dynamics_lanes.py) is the vmap path
     exactly, component by component and through a full implicitly-damped
@@ -286,6 +287,7 @@ def test_lanes_layout_matches_vmap(walk_qpos):
         np.testing.assert_allclose(np.asarray(qa), np.asarray(qb), atol=5e-4)
 
 
+@pytest.mark.slow  # ~2 min of f64 CPU compiles; parity anchor, opt-in
 def test_aba_matches_dense_engine(walk_qpos):
     """The O(n) Featherstone path (dynamics_aba.py: world-frame RNEA bias +
     zero-velocity articulated-body solve, env-last) equals the dense engine
@@ -339,6 +341,7 @@ def test_aba_matches_dense_engine(walk_qpos):
         np.testing.assert_allclose(np.asarray(qa), np.asarray(qb), atol=5e-4)
 
 
+@pytest.mark.slow  # ~60s physics rollouts
 def test_physics_plausibility_score_discriminates(walk_qpos):
     """track_motions scores the real walk clip high and a joint-scrambled
     fake motion low — the plausibility metric actually discriminates."""

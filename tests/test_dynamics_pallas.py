@@ -150,3 +150,78 @@ def test_pallas_call_matches_components_f32(walk_states):
     r_ref = envlib.tracking_reward(qp_f, qv_f, target32, rv32)
     np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_ref),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_rollout_env_step_components_match_env_bookkeeping():
+    """The fused-rollout per-step component function (_rollout_env_step)
+    reproduces PhysicsTrackingEnv.step's bookkeeping — done instances
+    freeze, rewards gate to 0, frame targets advance — against the aba
+    engine over several control steps (VERDICT r3 item 5)."""
+    from deepmimic_diffusion_mujoco_tpu.physics import env as envlib
+    from deepmimic_diffusion_mujoco_tpu.physics.env import PhysicsState
+
+    clip = load_clip(WALK)
+    env = envlib.PhysicsTrackingEnv(
+        clip.qpos, clip.qvel, substeps=SUBSTEPS, layout="aba")
+    N, T = 6, 3
+    st0 = env.reset(N, stagger=True)
+    done0 = jnp.asarray([False, False, True, False, True, False])
+    state = PhysicsState(st0.frame, st0.qpos, st0.qvel, done0)
+
+    s = state
+    step_rs, step_qp = [], []
+    for _ in range(T):
+        s, r = env.step(s)
+        step_rs.append(np.asarray(r))
+        step_qp.append(np.asarray(s.qpos))
+
+    qp = [state.qpos[:, k][None, :] for k in range(NQ)]
+    qv = [state.qvel[:, k][None, :] for k in range(NV)]
+    dn = done0.astype(jnp.float32)[None, :]
+    for t in range(T):
+        frames = (state.frame + 1 + t) % env.num_frames
+        tgt_f = env.motion[frames]
+        rqv_f = env.vel[frames]
+        tgt = [tgt_f[:, k][None, :] for k in range(NQ)]
+        rqv = [rqv_f[:, k][None, :] for k in range(NV)]
+        qp, qv, dn, r = dp._rollout_env_step(
+            qp, qv, dn, tgt, rqv, h=env.engine.h, substeps=SUBSTEPS,
+            kp_scale=1.0, kd_scale=1.0, contacts=True, limits=True,
+            fall_height=env.fall_height, unroll=True)
+        np.testing.assert_allclose(np.asarray(r[0]), step_rs[t],
+                                   atol=2e-4, rtol=2e-4)
+        qp_now = np.stack([np.asarray(c[0]) for c in qp], axis=1)
+        np.testing.assert_allclose(qp_now, step_qp[t], atol=5e-5, rtol=5e-5)
+    # frozen instances never moved and earned nothing
+    assert (np.stack(step_rs)[:, [2, 4]] == 0.0).all()
+    np.testing.assert_array_equal(step_qp[-1][[2, 4]],
+                                  np.asarray(state.qpos)[[2, 4]])
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu"
+    and not os.environ.get("RUN_PALLAS_INTERPRET"),
+    reason="pallas_call path: compiled on TPU; interpret mode takes >20 min "
+           "on CPU (set RUN_PALLAS_INTERPRET=1 to force)",
+)
+def test_rollout_pallas_matches_step_scan():
+    """The whole-rollout kernel == scanning env.step (both on the compiled
+    pallas path): state, rewards, done and frame all agree."""
+    from deepmimic_diffusion_mujoco_tpu.physics import env as envlib
+
+    clip = load_clip(WALK)
+    env = envlib.PhysicsTrackingEnv(
+        clip.qpos, clip.qvel, substeps=SUBSTEPS, layout="pallas")
+    state = env.reset(8, stagger=True)
+    fs, rews = env.rollout(state, 3)
+    s = state
+    rs = []
+    for _ in range(3):
+        s, r = env.step(s)
+        rs.append(np.asarray(r))
+    np.testing.assert_allclose(np.asarray(rews), np.stack(rs),
+                               atol=5e-5, rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(fs.qpos), np.asarray(s.qpos),
+                               atol=5e-5, rtol=5e-5)
+    np.testing.assert_array_equal(np.asarray(fs.done), np.asarray(s.done))
+    np.testing.assert_array_equal(np.asarray(fs.frame), np.asarray(s.frame))

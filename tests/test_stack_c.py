@@ -3,6 +3,7 @@ ddpm/ddpm.ipynb) + loss-aware timestep samplers (live resample.py rebuild)."""
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -35,6 +36,7 @@ def test_flatten_roundtrip():
     np.testing.assert_allclose(rec, clip.qpos[:80], atol=1e-4)
 
 
+@pytest.mark.slow  # ~90s full train+sample loop
 def test_stack_c_train_and_sample():
     """One-channel U-Net + pred_v objective + full sample, tiny scale
     (seq 2800 // 35 smaller for test speed: use 16 frames -> 560)."""
