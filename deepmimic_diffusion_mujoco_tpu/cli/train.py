@@ -42,7 +42,14 @@ def build_trainer(
         horizon_multiple=cfg.data.horizon_multiple,
         max_files=cfg.data.max_files,
     )
-    H = min(ds.horizon, cfg.model.max_seq_len) if cfg.model.architecture != "temporal" else ds.horizon
+    if cfg.model.architecture != "temporal":
+        # position-embedding models can't see past max_seq_len: clamp the
+        # DATA horizon too, or batches longer than the trained pos table
+        # would crash the first step (found by a tiny verify config)
+        ds = ds.truncated(cfg.model.max_seq_len)
+        H = min(ds.horizon, cfg.model.max_seq_len)
+    else:
+        H = ds.horizon
 
     x = jnp.zeros((2, H, cfg.model.input_dim))
     params = model.init(jax.random.PRNGKey(cfg.train.seed), x, jnp.zeros((2,)))

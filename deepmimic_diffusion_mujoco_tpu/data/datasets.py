@@ -165,6 +165,19 @@ class MotionDataset:
             files = [path]
         return cls.from_clips([load_clip(f) for f in files], **kw)
 
+    def truncated(self, horizon: int) -> "MotionDataset":
+        """Clamp every trajectory to `horizon` frames (e.g. a model whose
+        max_seq_len is shorter than the longest clip)."""
+        if horizon >= self.horizon:
+            return self
+        return MotionDataset(
+            trajectories=self.trajectories[:, :horizon],
+            motion_class=self.motion_class,
+            lengths=np.minimum(self.lengths, horizon),
+            horizon=horizon,
+            feature_dim=self.feature_dim,
+        )
+
     # ---- access --------------------------------------------------------
 
     def __len__(self) -> int:

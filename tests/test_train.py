@@ -344,3 +344,20 @@ def test_epochs_yields_full_batches_for_small_datasets():
     # every underlying trajectory appears (oversampling, not truncation)
     b2 = next(it)
     assert b2.trajectories.shape[0] == bs
+
+
+def test_dataset_truncated_to_model_horizon():
+    """Models with max_seq_len < the longest clip clamp the DATA horizon
+    (cli.train wiring; a longer batch would crash the pos-emb add)."""
+    ds = MotionDataset.from_path(
+        os.path.join(os.path.dirname(__file__), "..", "data", "motions"),
+        include_velocity=True, augment="none",
+    )
+    assert ds.horizon > 40
+    t = ds.truncated(40)
+    assert t.horizon == 40 and t.trajectories.shape[1] == 40
+    assert int(t.lengths.max()) <= 40
+    b = t.batch(np.arange(3))
+    assert b.trajectories.shape[1] == 40 and b.mask.shape[1] == 40
+    # no-op when already short enough
+    assert t.truncated(100) is t
