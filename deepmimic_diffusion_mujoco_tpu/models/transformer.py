@@ -99,7 +99,23 @@ class TransformerMotionModel(nn.Module):
             )
             if y is None:
                 y = jnp.full((B,), self.num_classes, jnp.int32)
-            h = h + cls(jnp.clip(y, 0, self.num_classes))[:, None, :]
+            c = cls(jnp.clip(y, 0, self.num_classes))
+            # round 4: the raw additive embedding trained to norm ~1 against
+            # token vectors of norm ~20 (pos_emb init std 1.0 over 512 dims)
+            # — class conditioning measured ~6% of output and samples
+            # collapsed to a walk-ish mean for every label (cfg_eval on
+            # allclips12k_r4). Route the class vector through its own
+            # 2-layer SiLU MLP, MDM-style (the reference's commented-out
+            # intent, transformer_temporal.py:70,138-141, was also an
+            # embedding fused with the time token): the MLP gives training
+            # an easy path to amplify the class signal to whatever scale
+            # the denoiser needs.
+            c = nn.Dense(self.latent_dim, dtype=self.dtype,
+                         name="class_embed_0")(c)
+            c = nn.silu(c)
+            c = nn.Dense(self.latent_dim, dtype=self.dtype,
+                         name="class_embed_1")(c)
+            h = h + c[:, None, :]
 
         attn_mask = None
         if mask is not None:
