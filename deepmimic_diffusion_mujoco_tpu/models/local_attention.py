@@ -202,7 +202,7 @@ class LocalMHA(nn.Module):
     # ops/pallas/fused_local_attention.py). Round 4: the kernel also covers
     # key masks (jagged batches), attention dropout (precomputed keep-mask
     # operand) and unaligned N <= 256 (autopad single chunk) — so it stays
-    # ON for the live training config (dance_a H=152, dropout 0.3).
+    # ON for the live training config (dance_a H=96, dropout 0.3).
     # Remaining unsupported cases (window overrides, position-bias tables,
     # xpos, large unaligned N) and non-TPU backends fall back to the jnp
     # path automatically

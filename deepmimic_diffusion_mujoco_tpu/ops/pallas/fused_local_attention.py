@@ -30,7 +30,7 @@ trimmed to what the window structure can actually reach —
 - otherwise: whole-neighbor-block fallback (keys = 3C).
 
 Round-4 (VERDICT round-3 item 2 — the kernel must stay ON in the LIVE
-training config: dance_a H=152 with attn dropout 0.3 and stack-B padded
+training config: dance_a H=96 (unaligned) with attn dropout 0.3 and stack-B padded
 batches):
 
 - unaligned N: sequences are padded to the next window multiple and run

@@ -120,8 +120,8 @@ def test_fused_qkv_kernel_fallback_unaligned():
 
 
 def test_fused_qkv_unaligned_live_config_shape():
-    """The LIVE training shape (dance_a H=152, w=16) pads to 160 and runs
-    as one chunk; pad keys are valid zero keys exactly like the reference
+    """An unaligned shape (H=152, w=16; the live dance_a config is H=96,
+    also unaligned) pads to 160 and runs as one chunk; pad keys are valid zero keys exactly like the reference
     autopad (local_attention.py:124-126)."""
     B, h, N, dh, w = 2, 4, 152, 32, 16
     rng = np.random.default_rng(21)
