@@ -90,7 +90,7 @@ def build_trainer(
         label_drop_prob=cfg.train.label_drop_prob,
         null_label=cfg.model.num_classes if cfg.model.num_classes else None,
         smooth_loss_weight=cfg.diffusion.smooth_loss_weight,
-        use_mask=cfg.diffusion.loss == "v4",
+        use_mask=cfg.diffusion.loss in ("v4", "x0"),
         dropout=has_dropout,
     )
 

@@ -257,21 +257,37 @@ def v4_training_loss(
     predict_x0: bool = True,
     mask: jnp.ndarray | None = None,
     t_weights: jnp.ndarray | None = None,
+    loss_space: str = "eps",
 ):
     """Stack-B training loss (diffusion_v4.py:151-191): MSE in epsilon space;
     an x0-predicting model's output is converted to epsilon first.
 
     `t_weights` (B,) are importance weights from a non-uniform timestep
     sampler (resample.py:28-48); info carries the per-sample losses the
-    loss-aware sampler's ring buffer records (resample.py:124-153)."""
+    loss-aware sampler's ring buffer records (resample.py:124-153).
+
+    loss_space="x0" is MDM's "simple" objective (MSE directly on the
+    recovered x0), NOT in the reference. The eps-space loss weights an
+    x0-predicting model's error by sqrt(abar/(1-abar)) — which vanishes at
+    high t, exactly where sampling decides WHAT motion to form: measured
+    on the class-conditional all-clips config, the eps-space-trained model
+    ignored its labels entirely (class accuracy 0.11 = chance in
+    cli/cfg_eval.py, class embeddings frozen at init scale). x0-space
+    gives every timestep full weight on content, making conditioning
+    trainable."""
     noise = jax.random.normal(rng, x0.shape, x0.dtype)
     x_noisy = q_sample(sched, x0, t, noise)
     pred = model_fn(x_noisy, t)
-    if predict_x0:
-        eps_hat = predict_noise_from_start(sched, x_noisy, t, pred)
+    if loss_space == "x0":
+        x0_hat = pred if predict_x0 else predict_start_from_noise(
+            sched, x_noisy, t, pred)
+        err = (x0_hat - x0) ** 2
     else:
-        eps_hat = pred
-    err = (eps_hat - noise) ** 2
+        if predict_x0:
+            eps_hat = predict_noise_from_start(sched, x_noisy, t, pred)
+        else:
+            eps_hat = pred
+        err = (eps_hat - noise) ** 2
     if mask is None:
         per_sample = err.mean(axis=tuple(range(1, err.ndim)))
     else:
@@ -281,7 +297,11 @@ def v4_training_loss(
         )
     if t_weights is None:
         # unweighted: keep the reference's global masked mean exactly
-        loss = mse_loss(eps_hat, noise, mask)
+        if mask is None:
+            loss = err.mean()
+        else:
+            m = mask[..., None]
+            loss = (err * m).sum() / (m.sum() * err.shape[-1])
     else:
         loss = (per_sample * t_weights).mean()
     return loss, {"per_sample_loss": per_sample}

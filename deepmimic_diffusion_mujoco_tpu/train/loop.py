@@ -58,6 +58,9 @@ def make_loss_fn(
 
     kind="diffuser": stack-A weighted p_losses (conditioning applied inside);
     kind="v4": stack-B epsilon-MSE with CFG label drop;
+    kind="x0": like v4 but MDM's "simple" x0-space MSE (full content
+    weight at every timestep — required for class conditioning to train;
+    see process.v4_training_loss);
     kind="angle_velocity": the tuning model's x0+velocity loss.
 
     dropout=True trains with active dropout: the model is applied with
@@ -95,7 +98,7 @@ def make_loss_fn(
                 sched, model_fn, x0, t, n_rng,
                 smooth_loss_weight=smooth_loss_weight,
             )
-        if kind == "v4":
+        if kind in ("v4", "x0"):
             y = getattr(batch, "motion_class", None)
             if y is not None and null_label is not None:
                 # 10% label drop trains the unconditional branch for CFG
@@ -111,6 +114,7 @@ def make_loss_fn(
                 sched, model_fn, x0, t, n_rng,
                 predict_x0=not predict_epsilon, mask=mask,
                 t_weights=t_weights,
+                loss_space="x0" if kind == "x0" else "eps",
             )
         raise ValueError(f"unknown loss kind {kind!r}")
 

@@ -193,3 +193,37 @@ def test_masked_mse():
     mask = jnp.array([[1, 1, 0, 0], [1, 1, 1, 1]], dtype=jnp.float32)
     # all errors are 1 -> masked mean must be exactly 1
     assert float(process.mse_loss(pred, targ, mask)) == pytest.approx(1.0)
+
+
+def test_x0_space_loss_keeps_content_weight_at_high_t():
+    """MDM-style x0-space loss (NOT in the reference): a perfect x0 model
+    scores ~0 at every t, and the content-error gradient does NOT vanish
+    at high t (the eps-space loss scales it by sqrt(abar/(1-abar)) -> 0,
+    which is why eps-trained class conditioning collapsed; see
+    process.v4_training_loss)."""
+    import jax
+    from deepmimic_diffusion_mujoco_tpu.diffusion import process, schedules
+
+    sched = schedules.make_schedule("cosine", 1000, convention="v4")
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 6))
+    t_hi = jnp.full((4,), 980, jnp.int32)
+
+    perfect, _ = process.v4_training_loss(
+        sched, lambda x, t: x0, x0, t_hi, rng, predict_x0=True,
+        loss_space="x0")
+    assert float(perfect) < 1e-10
+
+    # a model that is off by a constant delta in x0 space
+    delta = 0.5
+
+    def off_model(x, t):
+        return x0 + delta
+
+    l_x0, _ = process.v4_training_loss(
+        sched, off_model, x0, t_hi, rng, predict_x0=True, loss_space="x0")
+    l_eps, _ = process.v4_training_loss(
+        sched, off_model, x0, t_hi, rng, predict_x0=True, loss_space="eps")
+    # x0 space sees the full delta^2; eps space sees it shrunk by SNR
+    np.testing.assert_allclose(float(l_x0), delta ** 2, rtol=1e-5)
+    assert float(l_eps) < 0.01 * float(l_x0)
