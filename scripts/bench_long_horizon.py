@@ -49,9 +49,13 @@ def bench_tpu(horizons, batch, ddim_steps, depth, dim):
             use_pallas=use_pallas, dtype=dtype,
         )
         if params is None:
+            # init on the host CPU with the pallas flag OFF (the kernel
+            # can't lower for a CPU-placed init while the default backend
+            # is the TPU); the parameter tree is identical either way
+            m_init = m.clone(use_pallas=False)
             with jax.default_device(jax.devices("cpu")[0]):
-                params = m.init(jax.random.PRNGKey(0),
-                                jnp.zeros((1, 64, D)), jnp.zeros((1,)))
+                params = m_init.init(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 64, D)), jnp.zeros((1,)))
             params = jax.device_put(params, jax.devices()[0])
         for H in horizons:
             fn = jax.jit(lambda rng, H=H, m=m: sampling.sample_loop(
