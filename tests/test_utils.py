@@ -1,6 +1,7 @@
 """Profiling / observability utilities."""
 import time
 
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +34,7 @@ def test_progress_meter():
     assert "loss" in lines[0] and "it/s" in lines[0]
 
 
+@pytest.mark.slow  # ~37s profiler trace round-trip
 def test_trace_and_annotate(tmp_path):
     with P.trace(str(tmp_path / "prof")):
         with P.annotate("step"):
