@@ -37,9 +37,11 @@ batches):
   as a single chunk when that padded length is <= 256 (the reference's
   own autopad semantics, local_attention.py:124-126 — pad keys are VALID
   zero keys exactly as in the jnp/bucketed path, so parity is exact);
-- `key_mask` operand: per-position validity (stack-B jagged batches,
-  train_transformer.py collate) applied as additional key masking inside
-  the kernel — three neighbor-sliced mask blocks mirror the qkv blocks;
+- `key_mask` support: stack-B jagged batches (train_transformer.py
+  collate) are PREFIX-valid, so the kernel consumes per-sequence lengths
+  from SMEM and masks keys positionally (a 2-D mask operand has no
+  Mosaic-legal small-block layout — caught by the real-TPU check);
+  arbitrary non-prefix masks fall to the jnp path by contract;
 - attention-probability dropout via a precomputed `dropout_keep` operand
   in kernel coordinates (B, Np, h*K): sampled OUTSIDE the kernel with
   jax.random (one bernoulli fused by XLA), multiplied into the softmax
@@ -90,6 +92,11 @@ def _plan(N: int, w: int, causal: bool) -> dict | None:
         return None
     lb, lf = 1, (0 if causal else 1)
     Np = -(-N // w) * w  # reference autopad to window multiples
+    if Np % 8:
+        # Mosaic wants sublane-dim multiples of 8; padding past the window
+        # multiple would change the reference's autopad semantics, so such
+        # shapes (w not a multiple of 8 on awkward N) take the jnp path
+        return None
     nc = Np // CHUNK
     if Np % CHUNK == 0 and nc > 1:
         if max(lb, lf) * w > CHUNK:
@@ -141,17 +148,16 @@ def _rot(x, cos, sin, dh):
 
 
 def _attend_heads(qkv_c_ref, kv_parts, out_ref, bad, q_pos, k_pos,
-                  freq_ref, *, h, dh, use_rotary, km_row=None,
+                  freq_ref, *, h, dh, use_rotary,
                   keep_ref=None, K=None, keep_prob=1.0):
     """Shared inner loop: per-head QK^T -> mask -> softmax -> [dropout] -> PV.
 
     kv_parts: list of refs whose row-concat forms this chunk's key/value
-    set, in k_pos order. km_row: optional (1, K) key-validity row.
+    set, in k_pos order. Key-validity (jagged batches) is already folded
+    into `bad` by the callers from the SMEM lengths.
     keep_ref: optional (1, C, h*K) dropout keep-mask block.
     """
     scale = dh ** -0.5
-    if km_row is not None:
-        bad = bad | (km_row <= 0)
     if use_rotary:
         q_ang = q_pos.astype(jnp.float32) * freq_ref[0][None, :]
         k_ang = k_pos.reshape(-1, 1).astype(jnp.float32) * freq_ref[0][None, :]
@@ -184,20 +190,24 @@ def _attend_heads(qkv_c_ref, kv_parts, out_ref, bad, q_pos, k_pos,
 def _kernel_single(*refs, w, lb, lf, C, h, dh, causal, exact, use_rotary,
                    has_km, has_keep, keep_prob):
     """nc == 1: the whole (padded) sequence is one chunk attending to
-    itself. Ref order: qkv, [km], [keep], freq, out."""
+    itself. Ref order: qkv, [len (SMEM)], [keep], freq, out."""
     it = iter(refs)
     qkv_ref = next(it)
-    km_ref = next(it) if has_km else None
+    len_ref = next(it) if has_km else None
     keep_ref = next(it) if has_keep else None
     freq_ref = next(it)
     out_ref = next(it)
     i_pos = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
     j_pos = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     bad = _window_mask(i_pos, j_pos, w, lb, lf, causal, exact, False)
-    km_row = km_ref[0:1, :] if has_km else None
+    if has_km:
+        # jagged batches are prefix-valid: keys at or past this sequence's
+        # length are masked (the (B,) lengths ride whole in SMEM — a 2-D
+        # mask operand has no Mosaic-legal small-block layout)
+        bad = bad | (j_pos >= len_ref[pl.program_id(0)])
     _attend_heads(qkv_ref, [qkv_ref], out_ref, bad,
                   i_pos + lf * w, j_pos, freq_ref,
-                  h=h, dh=dh, use_rotary=use_rotary, km_row=km_row,
+                  h=h, dh=dh, use_rotary=use_rotary,
                   keep_ref=keep_ref, K=C, keep_prob=keep_prob)
 
 
@@ -205,12 +215,10 @@ def _kernel_sliced(*refs, w, lb, lf, C, P, N, nc, h, dh, causal, exact,
                    use_rotary, has_km, has_keep, keep_prob):
     """General case: keys = P-row tail of prev chunk + own chunk + P-row
     head of next chunk (P = w slice when aligned, else full C).
-    Ref order: qkv_c, qkv_p, qkv_n, [km_c, km_p, km_n], [keep], freq, out."""
+    Ref order: qkv_c, qkv_p, qkv_n, [len (SMEM)], [keep], freq, out."""
     it = iter(refs)
     qkv_c_ref, qkv_p_ref, qkv_n_ref = next(it), next(it), next(it)
-    km_c = km_p = km_n = None
-    if has_km:
-        km_c, km_p, km_n = next(it), next(it), next(it)
+    len_ref = next(it) if has_km else None
     keep_ref = next(it) if has_keep else None
     freq_ref = next(it)
     out_ref = next(it)
@@ -229,13 +237,12 @@ def _kernel_sliced(*refs, w, lb, lf, C, P, N, nc, h, dh, causal, exact,
     )
     invalid = ((seg == 0) & (c == 0)) | ((seg == 2) & (c == nc - 1))
     bad = _window_mask(i_pos, j_pos, w, lb, lf, causal, exact, invalid)
-    km_row = None
     if has_km:
-        km_row = jnp.concatenate(
-            [km_p[0:1, :], km_c[0:1, :], km_n[0:1, :]], axis=-1)
+        # prefix-valid jagged batches: see _kernel_single
+        bad = bad | (j_pos >= len_ref[pl.program_id(0)])
     _attend_heads(qkv_c_ref, [qkv_p_ref, qkv_c_ref, qkv_n_ref], out_ref,
                   bad, i_pos + lf * w, j_pos, freq_ref,
-                  h=h, dh=dh, use_rotary=use_rotary, km_row=km_row,
+                  h=h, dh=dh, use_rotary=use_rotary,
                   keep_ref=keep_ref, K=K, keep_prob=keep_prob)
 
 
@@ -380,13 +387,17 @@ def _forward(qkv, heads, dim_head, window_size, causal, exact_windowsize,
     pad = Np - N
     if pad:
         # reference autopad: pad keys are VALID zero keys
-        # (local_attention.py:124-126); any key_mask is zero-padded, which
-        # masks them for jagged batches exactly as the jnp path does
+        # (local_attention.py:124-126); jagged-batch lengths below mask
+        # them exactly as the zero-padded mask does in the jnp path
         qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
-        if key_mask is not None:
-            key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
+    lengths = None
     if key_mask is not None:
-        key_mask = key_mask.astype(jnp.float32)
+        # jagged batches are PREFIX-valid (dataset length masks); the
+        # kernel consumes per-sequence lengths from SMEM — a (B, N) mask
+        # operand has no Mosaic-legal small-block layout. Arbitrary
+        # (non-prefix) masks are out of the kernel's contract; the
+        # bucketed jnp path handles those.
+        lengths = (key_mask > 0).astype(jnp.int32).sum(axis=1)
     if dropout_keep is not None:
         assert dropout_keep.shape == (B, Np, h * K), (
             f"dropout_keep shape {dropout_keep.shape} != {(B, Np, h * K)}; "
@@ -414,9 +425,9 @@ def _forward(qkv, heads, dim_head, window_size, causal, exact_windowsize,
                            memory_space=pltpu.VMEM)
         in_specs, args = [cur], [qkv]
         if has_km:
-            in_specs.append(pl.BlockSpec((1, C), lambda i, c: (i, 0),
-                                         memory_space=pltpu.VMEM))
-            args.append(key_mask)
+            in_specs.append(pl.BlockSpec((B,), lambda i, c: (0,),
+                                         memory_space=pltpu.SMEM))
+            args.append(lengths)
         if has_keep:
             in_specs.append(keep_spec)
             args.append(dropout_keep)
@@ -454,16 +465,9 @@ def _forward(qkv, heads, dim_head, window_size, causal, exact_windowsize,
     )
     in_specs, args = [cur, prev, nxt], [qkv, qkv, qkv]
     if has_km:
-        in_specs.extend([
-            pl.BlockSpec((1, C), lambda i, c: (i, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda i, c: (i, jnp.maximum(c * cpp - 1, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P),
-                         lambda i, c: (i, jnp.minimum((c + 1) * cpp, npb - 1)),
-                         memory_space=pltpu.VMEM),
-        ])
-        args.extend([key_mask, key_mask, key_mask])
+        in_specs.append(pl.BlockSpec((B,), lambda i, c: (0,),
+                                     memory_space=pltpu.SMEM))
+        args.append(lengths)
     if has_keep:
         in_specs.append(keep_spec)
         args.append(dropout_keep)
