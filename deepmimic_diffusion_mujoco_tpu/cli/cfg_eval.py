@@ -105,10 +105,15 @@ def evaluate_cfg(run_dir, scales, num=8, frames=None, ema=True,
                 if gt2.shape[0] < 10 or H < 10:
                     continue
                 sifid_by_class[cname2] = float(M.sifid(gen, gt2))
+            if not sifid_by_class:
+                # every clip (or the sampling horizon) shorter than the
+                # SiFID window: no comparison is possible for this class
+                continue
             finite = {k: v for k, v in sifid_by_class.items()
                       if np.isfinite(v)}
-            best = (min(finite, key=finite.get) if finite
-                    else min(sifid_by_class))
+            # degenerate all-non-finite fallback still mins by VALUE (an
+            # alphabetical min over class names silently faked a winner)
+            best = min(finite or sifid_by_class, key=sifid_by_class.get)
             err = jnp.sqrt(jnp.mean((gen0[:, :L] - gt[None]) ** 2,
                                     axis=(1, 2)))
             per_class[cname] = {
@@ -127,11 +132,13 @@ def evaluate_cfg(run_dir, scales, num=8, frames=None, ema=True,
                 save_motions(np.asarray(gen), mdir)
         n_right = sum(
             1 for c, r in per_class.items() if r["sifid_best"] == c)
+        # sifid_own is None when a class's own clip was too short to window
+        own = [r["sifid_own"] for r in per_class.values()
+               if r["sifid_own"] is not None]
         report["scales"][str(s)] = {
             "per_class": per_class,
             "class_accuracy": n_right / max(len(per_class), 1),
-            "mean_sifid_own": float(np.nanmean(
-                [r["sifid_own"] for r in per_class.values()])),
+            "mean_sifid_own": float(np.nanmean(own)) if own else None,
             "mean_rmse_min": float(np.nanmean(
                 [r["rmse_min"] for r in per_class.values()])),
         }
@@ -158,8 +165,10 @@ def main(argv=None):
     )
     print(f"{'scale':>6} {'class_acc':>10} {'mean_sifid':>11} {'mean_rmse':>10}")
     for s, r in report["scales"].items():
+        own = r["mean_sifid_own"]
+        own_s = "-" if own is None else f"{own:.3f}"
         print(f"{s:>6} {r['class_accuracy']:>10.2f} "
-              f"{r['mean_sifid_own']:>11.3f} {r['mean_rmse_min']:>10.3f}")
+              f"{own_s:>11} {r['mean_rmse_min']:>10.3f}")
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:

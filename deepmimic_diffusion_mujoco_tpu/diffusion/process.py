@@ -175,12 +175,34 @@ def kl_divergence_loss(
 ) -> jnp.ndarray:
     """KL(q(x_{t-1}|x_t, x0) || p(x_{t-1}|x_t, x0_hat))
     (losses/kl_loss.py:4-81 — the reference imports it into the tuning
-    model but never calls it; here it is a live option). Both distributions
-    share the posterior variance, so the KL reduces to the scaled squared
-    mean difference."""
+    model but never calls it; here it is live as loss kind "kl" via
+    kl_training_loss -> train.loop.make_loss_fn -> diffusion.loss config).
+    Both distributions share the posterior variance, so the KL reduces to
+    the scaled squared mean difference."""
     mean_q, var, _ = q_posterior(sched, x0, x_t, t)
     mean_p, _, _ = q_posterior(sched, x0_hat, x_t, t)
     return (0.5 * (mean_q - mean_p) ** 2 / jnp.maximum(var, 1e-20)).mean()
+
+
+def kl_training_loss(
+    sched: Schedule,
+    model_fn,
+    x0: jnp.ndarray,
+    t: jnp.ndarray,
+    rng: jax.Array,
+    predict_x0: bool = True,
+):
+    """Full KL training objective (loss kind "kl" in train.loop.make_loss_fn
+    — the LIVE wiring of the reference's dead losses/kl_loss.py, which
+    transformer_temporal_new.py:34 imports and never calls): noise x0,
+    recover x0_hat from the model prediction, and take the posterior KL
+    between the true q(x_{t-1}|x_t,x0) and the model-implied distribution."""
+    noise = jax.random.normal(rng, x0.shape, x0.dtype)
+    x_noisy = q_sample(sched, x0, t, noise)
+    pred = model_fn(x_noisy, t)
+    x0_hat = pred if predict_x0 else predict_start_from_noise(
+        sched, x_noisy, t, pred)
+    return kl_divergence_loss(sched, x0, x_noisy, x0_hat, t), {}
 
 
 def diffuser_p_losses(

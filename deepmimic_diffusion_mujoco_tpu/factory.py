@@ -27,7 +27,8 @@ def build_model(cfg: ModelConfig):
             dropout=cfg.dropout,
             dim_feedforward=cfg.dim_feedforward,
             max_sequence_length=cfg.max_seq_len,
-            num_classes=cfg.num_classes, dtype=dtype,
+            num_classes=cfg.num_classes,
+            conditioning=cfg.conditioning, dtype=dtype,
         )
     if cfg.architecture == "temporal":
         return TemporalUnet(

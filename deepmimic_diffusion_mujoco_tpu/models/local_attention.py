@@ -259,7 +259,12 @@ class LocalMHA(nn.Module):
         # attention dropout (precomputed kernel-layout keep mask) and
         # unaligned N (reference autopad semantics); the remaining
         # unsupported cases — trained-window override (mask_window_size),
-        # position-bias tables, xpos — go through the jnp path
+        # position-bias tables, xpos — go through the jnp path.
+        # key_mask CONTRACT: the kernel assumes PREFIX-valid masks (valid
+        # frames contiguous from 0, padding at the end — what every jagged
+        # dataset batch produces, datasets.py collate). A caller with a
+        # non-prefix mask must set use_pallas=False; DMDM_CHECK_MASKS=1
+        # asserts the contract at runtime (fused_local_attention).
         from ..ops.pallas import fused_local_attention as _fk
 
         use_pallas = (

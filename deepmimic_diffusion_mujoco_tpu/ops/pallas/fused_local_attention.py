@@ -78,12 +78,36 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 NEG_INF = -1e9
 CHUNK = 128
 MAX_SINGLE = 256  # largest padded length run as one dense chunk
 
 # flip to run through the Pallas interpreter (CPU-testable)
 INTERPRET = False
+
+# DMDM_CHECK_MASKS=1 inserts a host callback verifying the key_mask
+# prefix-validity CONTRACT (below) on every kernel call — debug mode for
+# new callers; off in production (one host round-trip per call)
+CHECK_MASKS = os.environ.get("DMDM_CHECK_MASKS", "0") == "1"
+
+
+def _assert_prefix_mask(mask, lengths):
+    """key_mask CONTRACT: the kernel collapses (B, N) masks to per-sequence
+    lengths (SMEM), assuming validity is a PREFIX — true for every in-repo
+    caller (jagged dataset batches pad at the END). A non-prefix mask would
+    attend to wrong keys silently; this host-side check (enabled by
+    DMDM_CHECK_MASKS=1) makes that loud."""
+    m = np.asarray(mask) > 0
+    ln = np.asarray(lengths)
+    expected = np.arange(m.shape[1])[None, :] < ln[:, None]
+    if not np.array_equal(m, expected):
+        raise ValueError(
+            "fused_qkv_local_attention: key_mask is not prefix-valid "
+            "(valid frames must form a contiguous prefix per sequence); "
+            "non-prefix masks are outside the kernel contract — use the "
+            "jnp path (LocalMHA use_pallas=False) for such callers")
 
 
 def _plan(N: int, w: int, causal: bool) -> dict | None:
@@ -396,8 +420,11 @@ def _forward(qkv, heads, dim_head, window_size, causal, exact_windowsize,
         # kernel consumes per-sequence lengths from SMEM — a (B, N) mask
         # operand has no Mosaic-legal small-block layout. Arbitrary
         # (non-prefix) masks are out of the kernel's contract; the
-        # bucketed jnp path handles those.
+        # bucketed jnp path handles those. DMDM_CHECK_MASKS=1 verifies the
+        # contract at runtime (_assert_prefix_mask).
         lengths = (key_mask > 0).astype(jnp.int32).sum(axis=1)
+        if CHECK_MASKS:
+            jax.debug.callback(_assert_prefix_mask, key_mask, lengths)
     if dropout_keep is not None:
         assert dropout_keep.shape == (B, Np, h * K), (
             f"dropout_keep shape {dropout_keep.shape} != {(B, Np, h * K)}; "

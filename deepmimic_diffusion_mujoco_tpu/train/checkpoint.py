@@ -75,7 +75,12 @@ class Checkpointer:
 
     def save_best(self, state: TrainState, loss: float):
         # both keys: "loss" is the reference checkpoint-filename field,
-        # "best_loss" is what compare reports read (VERDICT r3 weak #5)
+        # "best_loss" is what compare reports read (VERDICT r3 weak #5).
+        # Under scanned training the caller passes a state whose params/
+        # ema_params/step are EXACTLY the argmin-loss step's (carried
+        # through the scan by select-on-min); opt_state is the save-time
+        # optimizer state — a best-model checkpoint serves inference, and
+        # resume uses the periodic state_N saves, not best_model.
         self._save_at(
             os.path.join(self.directory, "best_model"), state,
             {"loss": loss, "best_loss": loss},

@@ -26,6 +26,10 @@ class ModelConfig:
     dim_feedforward: int = 2048
     max_seq_len: int = 128
     num_classes: int = 0
+    # transformer conditioning pathway: "add" (additive class/time tokens,
+    # round-4 checkpoints) | "adaln" (per-layer FiLM of the norms by
+    # class+time, adaLN-zero init — the DiT/MDM mechanism)
+    conditioning: str = "add"
     # temporal U-Net
     channel_dim: int = 128
     dim_mults: tuple = (1, 2, 4, 8)
@@ -66,7 +70,7 @@ class DiffusionConfig:
     predict_x0: bool = True
     mode: str = "v4"                    # sampler loop: posterior|v4|ddpm
     cfg_scale: float = 3.0
-    loss: str = "v4"                    # v4|diffuser|angle_velocity
+    loss: str = "v4"                    # v4|x0|kl|diffuser|angle_velocity
     action_weight: float = 1.0
     loss_discount: float = 1.0
     loss_kind: str = "l2"

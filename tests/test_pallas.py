@@ -292,3 +292,29 @@ class TestConvGnMish:
         a = m0.apply(params, x, t)
         b = m1.apply(params, x, t)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_key_mask_prefix_contract_check():
+    """DMDM_CHECK_MASKS=1 (here: the module flag) verifies the kernel's
+    prefix-validity contract for key_mask at runtime: a prefix mask passes,
+    a non-prefix mask raises instead of silently attending to wrong keys
+    (ADVICE r4 medium)."""
+    B, h, dh, N, w = 2, 2, 32, 128, 16
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * h * dh)), jnp.float32)
+    prefix = jnp.asarray(
+        np.arange(N)[None, :] < np.asarray([N - 5, N // 2])[:, None],
+        jnp.float32)
+    hole = prefix.at[0, 10].set(0.0)  # non-prefix: a hole mid-sequence
+    old = FK.CHECK_MASKS
+    FK.CHECK_MASKS = True
+    try:
+        out = FK.fused_qkv_local_attention(
+            qkv, h, dh, w, False, True, True, prefix)
+        assert np.isfinite(np.asarray(out)).all()
+        with pytest.raises(Exception, match="prefix-valid"):
+            out = FK.fused_qkv_local_attention(
+                qkv, h, dh, w, False, True, True, hole)
+            jax.block_until_ready(out)
+    finally:
+        FK.CHECK_MASKS = False
