@@ -345,7 +345,11 @@ def bench_physics(jax, jnp, extras: dict):
         for rep in range(3):
             t0 = time.perf_counter()
             s2, rs = env.rollout(state, n_steps)
-            np.asarray(rs)  # forced host readback: the sync of record
+            # forced readback sync: a device reduce + scalar transfer (the
+            # full (n_steps, N) array is ~5 MB at N=65536 — transferring it
+            # through the tunnel inside the timed region cost ~40% of the
+            # measured throughput on the first round-5 capture)
+            float(rs.sum())
             best = min(best, time.perf_counter() - t0)
         extras[key] = round(N * n_steps / best, 0)
         if result is None:

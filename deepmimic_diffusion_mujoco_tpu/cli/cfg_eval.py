@@ -156,6 +156,11 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--save-motions", default=None,
                    help="also dump the sampled motions under this dir")
+    p.add_argument("--check-accuracy", default=None,
+                   help="gate 'SCALE:MIN' (e.g. '3.0:0.8'): exit 1 unless "
+                        "class_accuracy at that scale >= MIN — the "
+                        "machine-checked CFG quality gate "
+                        "(scripts/regression_gate.sh)")
     args = p.parse_args(argv)
     scales = [float(s) for s in args.scales.split(",")]
     report = evaluate_cfg(
@@ -173,6 +178,20 @@ def main(argv=None):
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)
+    if args.check_accuracy:
+        import sys
+
+        scale_s, _, min_s = args.check_accuracy.partition(":")
+        key = str(float(scale_s))
+        if key not in report["scales"]:
+            print(f"FAIL: scale {key} not evaluated", file=sys.stderr)
+            sys.exit(1)
+        acc = report["scales"][key]["class_accuracy"]
+        if acc < float(min_s):
+            print(f"FAIL: class_accuracy {acc:.2f} @ scale {key} < {min_s}",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"PASS: class_accuracy {acc:.2f} @ scale {key} >= {min_s}")
     return report
 
 

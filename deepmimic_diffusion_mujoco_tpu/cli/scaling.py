@@ -6,14 +6,28 @@ data-parallel widths 1, 2, 4, ... over the available devices, with the
 GLOBAL batch scaled proportionally (weak scaling — the pod-growth regime),
 and prints per-width efficiency vs linear. On CPU this runs against the
 8-virtual-device mesh (correctness/efficiency-methodology check); on a TPU
-pod slice the same command is the real measurement:
+pod slice the same command is the real measurement, and `--gate 0.8`
+turns it into the BASELINE acceptance check (exit 1 below the gate):
 
-    python -m deepmimic_diffusion_mujoco_tpu.cli.scaling --widths 1,2,4,8
+    # single host / pod slice visible to one process
+    python -m deepmimic_diffusion_mujoco_tpu.cli.scaling --widths 1,2,4,8 \\
+        --gate 0.8 --json scaling.json
+    # multi-host pod: one command per host (the whole launch procedure)
+    python -m deepmimic_diffusion_mujoco_tpu.cli.scaling \\
+        --coordinator <host0>:29500 --num-processes N --process-id i \\
+        --gate 0.8 --json scaling.json
+
+The JSON record carries {n_hosts, widths{efficiency,...}, gate,
+gate_evaluated, gate_pass}; on virtual CPU devices the gate is recorded
+but NOT evaluated (measurement_valid=false — one physical CPU cannot
+measure scaling) so CI can exercise the artifact contract without
+pretending to a pod.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 
@@ -103,7 +117,21 @@ def main(argv=None):
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--gate", type=float, default=None,
+                    help="minimum acceptable efficiency at the widest "
+                         "measured width (BASELINE target: 0.8); exit 1 "
+                         "below it on real hardware")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator address host:port")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.num_processes and args.num_processes > 1:
+        from ..parallel import mesh as meshlib
+
+        meshlib.initialize_multihost(
+            args.coordinator, args.num_processes, args.process_id)
 
     import jax
 
@@ -113,7 +141,9 @@ def main(argv=None):
     else:
         widths = [w for w in (1, 2, 4, 8, 16, 32, 64) if w <= n]
     res = measure(widths, args.batch_per_device, args.dim, args.steps)
-    report = {}
+    report = {"n_hosts": int(jax.process_count()),
+              "n_devices": n,
+              "measurement_valid": True}
     # virtual CPU "devices" share one physical CPU: label the artifact so
     # its efficiency column can never be quoted as a scaling result
     # (VERDICT round-3 weak #3)
@@ -125,6 +155,7 @@ def main(argv=None):
             "meaningless. Run on a real pod slice for the measurement.")
         report["measurement_valid"] = False
     print(f"{'devices':>8} {'steps/s':>10} {'samples/s':>12} {'efficiency':>11}")
+    eff = 1.0
     for w in widths:
         # weak scaling (fixed batch/device): ideal keeps steps/s constant as
         # devices grow, so efficiency = steps/s relative to the narrowest run
@@ -134,9 +165,20 @@ def main(argv=None):
         report[str(w)] = {"steps_per_s": round(res[w], 3),
                           "samples_per_s": round(samples, 1),
                           "efficiency": round(eff, 3)}
+    # acceptance gate (BASELINE: >= 0.8 at N >= 2 hosts): evaluated on the
+    # WIDEST width's efficiency, only where the measurement is physical
+    report["gate"] = args.gate
+    report["gate_evaluated"] = bool(args.gate) and report["measurement_valid"]
+    report["gate_pass"] = (
+        bool(eff >= args.gate) if report["gate_evaluated"] else None)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(report, f, indent=2)
+    if report["gate_evaluated"] and not report["gate_pass"]:
+        print(f"FAIL: efficiency {eff:.3f} < gate {args.gate}", file=sys.stderr)
+        sys.exit(1)
+    if report["gate_evaluated"]:
+        print(f"PASS: efficiency {eff:.3f} >= gate {args.gate}")
     return report
 
 

