@@ -70,34 +70,58 @@ def evaluate_cfg(run_dir, scales, num=8, frames=None, ema=True,
     # truncate the comparisons below)
     H = frames or min(64, cfg.model.max_seq_len)
     report["frames"] = H
+
+    # Hoist the two reverse chains as jitted functions defined ONCE:
+    # model_fn / conditioning_fn are STATIC jit args of sample_loop keyed
+    # by closure identity, so building fresh lambdas per (class, scale)
+    # call recompiled the full CFG chain ~90x through the tunnel (the
+    # round-5 cfg_eval "hang" — it was compiling for an hour). cfg_scale
+    # and the clamp frame are traced arguments here, so every (class,
+    # scale) pair reuses the same two executables.
+    def model_fn(x, t, yy):
+        return model.apply(params, x, t, yy)
+
+    common = dict(mode=d.mode, predict_epsilon=not d.predict_x0,
+                  clip_denoised=d.clip_denoised)
+
+    @jax.jit
+    def chain_plain(key, y, uy, scale):
+        return sample_loop(
+            sched, model_fn, (num, H, D), key,
+            y=y, cfg_scale=scale, uncond_y=uy, **common,
+        ).trajectories
+
+    @jax.jit
+    def chain_frame0(key, y, uy, scale, frame0):
+        return sample_loop(
+            sched, model_fn, (num, H, D), key,
+            y=y, cfg_scale=scale, uncond_y=uy,
+            conditioning_fn=clamp_frame0(
+                jnp.broadcast_to(frame0, (num,) + frame0.shape)),
+            **common,
+        ).trajectories
+    import sys as _sys
+    import time as _time
+
     for s in scales:
         per_class = {}
         for cid, (cname, gt_full) in sorted(clips.items()):
+            print(f"[cfg_eval] scale {s} class {cname} "
+                  f"({_time.strftime('%H:%M:%S')})",
+                  file=_sys.stderr, flush=True)
             L = min(H, gt_full.shape[0])
             gt = jnp.asarray(gt_full[:L, :D], jnp.float32)
             key = jax.random.PRNGKey(int(rngs.integers(1 << 30)))
             y = jnp.full((num,), cid, jnp.int32)
             uy = jnp.full((num,), n_classes, jnp.int32)
+            scale = jnp.float32(s)
             # scale 0 == pure unconditional (the reference lerp convention,
             # diffusion_v4.py:109: lerp(uncond, cond, scale))
-            gen = sample_loop(
-                sched, lambda x, t, yy: model.apply(params, x, t, yy),
-                (num, H, D), key, mode=d.mode,
-                predict_epsilon=not d.predict_x0,
-                clip_denoised=d.clip_denoised,
-                y=y, cfg_scale=float(s), uncond_y=uy,
-            ).trajectories
+            gen = chain_plain(key, y, uy, scale)
             # frame0-conditioned second batch for trajectory RMSE (the
             # evaluate CLI's --rmse contract)
-            gen0 = sample_loop(
-                sched, lambda x, t, yy: model.apply(params, x, t, yy),
-                (num, H, D), jax.random.fold_in(key, 1), mode=d.mode,
-                predict_epsilon=not d.predict_x0,
-                clip_denoised=d.clip_denoised,
-                y=y, cfg_scale=float(s), uncond_y=uy,
-                conditioning_fn=clamp_frame0(
-                    jnp.broadcast_to(gt[0], (num,) + gt[0].shape)),
-            ).trajectories
+            gen0 = chain_frame0(jax.random.fold_in(key, 1), y, uy, scale,
+                                gt[0])
             sifid_by_class = {}
             for cid2, (cname2, gt2_full) in sorted(clips.items()):
                 gt2 = jnp.asarray(gt2_full[:, :D], jnp.float32)

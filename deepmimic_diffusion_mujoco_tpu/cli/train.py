@@ -126,6 +126,7 @@ def build_trainer(
             save_every=cfg.train.save_every,
             seed=cfg.train.seed,
             scan_chunk=cfg.train.scan_chunk,
+            class_balanced=cfg.train.class_balanced,
         ),
         shard_fn=shard_fn,
         checkpointer=ckpt,

@@ -203,7 +203,8 @@ class MotionDataset:
             cond_frame=traj[:, 0],
         )
 
-    def epochs(self, batch_size: int, seed: int = 0, shuffle: bool = True):
+    def epochs(self, batch_size: int, seed: int = 0, shuffle: bool = True,
+               class_balanced: bool = False):
         """Infinite batch iterator (the reference's `cycle(DataLoader)`,
         diffuser/utils/training.py:11-14).
 
@@ -213,9 +214,27 @@ class MotionDataset:
         batches are dynamic shapes under jit, so a fixed batch with
         repeats is the TPU-correct equivalent — without this a small clip
         with a big batch_size would yield nothing and spin forever.
+
+        class_balanced=True draws each batch row's CLASS uniformly, then a
+        random item of that class. Cyclic augmentation yields T variants
+        per clip, so plain permutation weights classes by clip length —
+        the 25-frame run clip is seen 6.6x less than the 164-frame
+        cartwheel, and in round 5 exactly the shortest clips (run,
+        backflip) were the classes CFG sampling confused. Not a reference
+        behavior (its torch DataLoader has the same length bias); a
+        deliberate improvement, off by default.
         """
         rng = np.random.default_rng(seed)
         n = len(self)
+        if class_balanced:
+            classes = np.unique(self.motion_class)
+            by_class = [np.where(self.motion_class == c)[0] for c in classes]
+            while True:
+                cls = rng.integers(0, len(classes), size=batch_size)
+                idx = np.array([
+                    by_class[c][rng.integers(len(by_class[c]))] for c in cls
+                ])
+                yield self.batch(idx)
         reps = max(1, -(-batch_size // n))  # ceil
         while True:
             order = np.concatenate([

@@ -100,8 +100,12 @@ def _model_prediction(
 @partial(
     jax.jit,
     static_argnames=(
+        # cfg_scale is deliberately NOT static: it only feeds the CFG lerp
+        # arithmetic, and keeping it traced lets one compiled chain serve a
+        # whole guidance-scale sweep (cfg_eval recompiled the full reverse
+        # chain per scale before — ~90 cold tunnel compiles per report)
         "model_fn", "shape", "mode", "predict_epsilon", "prediction",
-        "conditioning_fn", "t_start", "return_chain", "cfg_scale",
+        "conditioning_fn", "t_start", "return_chain",
         "clip_denoised", "x_sharding", "ddim_steps", "eta", "cfg_batched",
     ),
 )

@@ -51,8 +51,10 @@ def build_model(cfg: ModelConfig):
             use_global_attn=cfg.use_global_attn,
             global_attn_layers=tuple(cfg.global_attn_layers),
             num_classes=cfg.num_classes,
+            # None = "auto": the measured policy (kernel for training
+            # shapes and above the inference crossover — see LocalMHA)
             use_pallas=(cfg.use_pallas if cfg.use_pallas is not None
-                        else True),
+                        else "auto"),
             dtype=dtype,
         )
     if cfg.architecture == "decoder":

@@ -115,8 +115,10 @@ class TransformerMotionModel(nn.Module):
     num_classes: int = 0
     # "add": the round-4 additive class-MLP path (checkpoint-compatible);
     # "adaln": per-layer FiLM of the norms by class+time with adaLN-zero
-    # init (AdaLNEncoderLayer) — the conditioning mechanism that pushed
-    # class accuracy past the additive plateau
+    # init (AdaLNEncoderLayer) — DiT-style, conditioning only through the
+    # modulations;
+    # "both": additive class/time tokens AND per-layer adaLN modulation —
+    # the label reaches the stream through two independent paths
     conditioning: str = "add"
     dtype: jnp.dtype = jnp.float32
 
@@ -129,14 +131,15 @@ class TransformerMotionModel(nn.Module):
         mask: (B, T) 1.0 on valid frames.
         """
         B, T, _ = x.shape
-        adaln = self.conditioning == "adaln"
+        adaln = self.conditioning in ("adaln", "both")
+        add_tokens = self.conditioning in ("add", "both")
         h = nn.Dense(self.latent_dim, dtype=self.dtype, name="pose_embed")(x)
 
         t_emb = mdm_timestep_embedding(time, self.latent_dim)
         t_emb = nn.Dense(self.latent_dim, dtype=self.dtype, name="time_embed_0")(t_emb)
         t_emb = nn.silu(t_emb)
         t_emb = nn.Dense(self.latent_dim, dtype=self.dtype, name="time_embed_1")(t_emb)
-        if not adaln:
+        if add_tokens:
             h = h + t_emb[:, None, :]
 
         pos = self.param(
@@ -170,10 +173,10 @@ class TransformerMotionModel(nn.Module):
             c = nn.silu(c)
             c = nn.Dense(self.latent_dim, dtype=self.dtype,
                          name="class_embed_1")(c)
+            if add_tokens:
+                h = h + c[:, None, :]
             if adaln:
                 cond = cond + c
-            else:
-                h = h + c[:, None, :]
 
         attn_mask = None
         if mask is not None:

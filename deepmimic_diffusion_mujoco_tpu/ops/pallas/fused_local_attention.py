@@ -92,6 +92,16 @@ INTERPRET = False
 # new callers; off in production (one host round-trip per call)
 CHECK_MASKS = os.environ.get("DMDM_CHECK_MASKS", "0") == "1"
 
+# Measured end-to-end crossover for PLAIN (deterministic, unmasked)
+# inference chains: below this sequence length XLA's bucketed path is at
+# parity or slightly ahead (H=256: 0.97x, round 4; re-measured round 5 —
+# benchmarks/long_horizon_r5.json), above it the kernel wins and the win
+# grows with horizon (1.14x @ 1024 .. 1.26x @ 4096). Training-shaped calls
+# (dropout active or key masks) measured a kernel win at H=96 already
+# (1.047x, benchmarks/localattn_kernel_r4.json), so the "auto" policy in
+# LocalMHA keeps the kernel ON for those regardless of N.
+INFERENCE_MIN_N = 512
+
 
 def _assert_prefix_mask(mask, lengths):
     """key_mask CONTRACT: the kernel collapses (B, N) masks to per-sequence

@@ -106,6 +106,9 @@ class TrainConfig:
     label_drop_prob: float = 0.1
     seed: int = 0
     scan_chunk: int = 1     # >1: updates per compiled call (lax.scan)
+    # draw each batch row's class uniformly (cyclic augmentation otherwise
+    # weights classes by clip length — see datasets.epochs)
+    class_balanced: bool = False
     # uniform | loss_aware (LossSecondMomentResampler, resample.py:124-153);
     # loss_aware requires diffusion.loss == "v4"
     timestep_sampler: str = "uniform"

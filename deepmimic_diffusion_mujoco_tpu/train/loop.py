@@ -322,6 +322,8 @@ class TrainerConfig:
     # batches — removes per-step host dispatch; logging granularity becomes
     # one record per chunk)
     scan_chunk: int = 1
+    # uniform-class batch sampling (datasets.epochs class_balanced)
+    class_balanced: bool = False
 
 
 class Trainer:
@@ -389,7 +391,8 @@ class Trainer:
         cfg = self.config
         n = num_steps if num_steps is not None else cfg.num_train_steps
         micro = n * max(1, cfg.gradient_accumulate_every)
-        batches = self.dataset.epochs(cfg.batch_size, seed=cfg.seed)
+        batches = self.dataset.epochs(cfg.batch_size, seed=cfg.seed,
+                                      class_balanced=cfg.class_balanced)
         rng = jax.random.PRNGKey(cfg.seed)
         accum = max(1, cfg.gradient_accumulate_every)
         best_from = int(n * (1.0 - cfg.best_window_frac))
@@ -445,7 +448,8 @@ class Trainer:
         n = num_steps if num_steps is not None else cfg.num_train_steps
         micro = n * max(1, cfg.gradient_accumulate_every)
         K = cfg.scan_chunk
-        batches = self.dataset.epochs(cfg.batch_size, seed=cfg.seed)
+        batches = self.dataset.epochs(cfg.batch_size, seed=cfg.seed,
+                                      class_balanced=cfg.class_balanced)
         rng = jax.random.PRNGKey(cfg.seed)
         best_from = int(n * (1.0 - cfg.best_window_frac))
         t0 = time.time()

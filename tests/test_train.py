@@ -507,3 +507,20 @@ def test_kl_loss_kind_matches_hand_computed_posterior_kl():
     step = make_train_step(tx, loss_fn)
     state, l1, _ = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(l1))
+
+
+def test_class_balanced_epochs():
+    """class_balanced batch sampling draws classes ~uniformly even though
+    cyclic augmentation yields length-proportional item counts."""
+    ds = MotionDataset.from_path(DATA, augment="cyclic_rooted")
+    counts = np.bincount(ds.motion_class)
+    assert counts.max() > 3 * counts.min()  # the bias being corrected
+    it = ds.epochs(64, seed=0, class_balanced=True)
+    seen = np.zeros(counts.size, np.int64)
+    for _ in range(50):
+        b = next(it)
+        seen += np.bincount(np.asarray(b.motion_class), minlength=counts.size)
+    frac = seen / seen.sum()
+    # every class within 2x of uniform over 3200 draws
+    assert frac.min() > 1.0 / (2 * counts.size)
+    assert frac.max() < 2.0 / counts.size
