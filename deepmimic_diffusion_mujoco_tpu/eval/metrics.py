@@ -88,11 +88,21 @@ def sifid(
     gt_sample: jnp.ndarray,
     window_size: int = 10,
     step_size: int = 10,
+    gt_step_size: int | None = None,
 ) -> float:
     """Single-instance FID (eval.py:60-77): per generated sample, FID of its
     window slices vs the ground-truth clip's window slices; mean over the
-    batch. vmapped over samples."""
-    gt_slices = slice_windows(gt_sample, window_size, step_size)
+    batch. vmapped over samples.
+
+    `gt_step_size` (default = step_size, the reference behavior) strides
+    the GROUND-TRUTH side separately: step 1 gives a densely-windowed
+    reference, which matters for short clips — the 25-frame run clip at
+    the reference stride yields only 2 windows, a rank-deficient
+    covariance that mis-ranks even perfect samples (round-5 measurement;
+    cfg_eval uses gt_step_size=1)."""
+    gt_slices = slice_windows(
+        gt_sample, window_size,
+        step_size if gt_step_size is None else gt_step_size)
     gt_mu, gt_sigma = activation_statistics(gt_slices)
 
     def one(sample):
