@@ -204,8 +204,9 @@ class LocalMHA(nn.Module):
     #             active or key masks present: 1.047x at the live dance_a
     #             H=96 config, benchmarks/localattn_kernel_r4.json) and for
     #             plain inference at N >= fused_local_attention
-    #             .INFERENCE_MIN_N (the measured crossover: 0.97x at H=256,
-    #             1.14-1.26x at H=1024-4096, benchmarks/long_horizon_r*.json);
+    #             .INFERENCE_MIN_N = 1024 (the measured crossover:
+    #             0.92-0.97x at H=128-512, 1.11x at 1024, 1.26x at 4096 —
+    #             benchmarks/long_horizon_r5.json, long_horizon_r4.json);
     #             below the crossover plain chains take XLA's path.
     #   True    — kernel whenever structurally supported (benchmarks/tests).
     #   False   — never (jnp path).

@@ -61,7 +61,10 @@ def _kernel(x_ref, dy_ref, out_ref, *, k, H, B):
 
 
 def conv1d_weight_grad(x, dy, k: int, block_cin: int = 512,
-                       block_cout: int = 512):
+                       block_cout: int = 256):
+    # default tile (512, 256): the (512, 512) tile's double-buffered
+    # operands + (k, 512, 512) f32 output block exceeded the 16M scoped
+    # VMEM limit (18.79M) on v5e
     """dL/dW for a SAME-padded 1-D conv y[b,h,co] = sum_{t,ci}
     w[t,ci,co] * x_pad[b,h+t,ci].
 

@@ -93,14 +93,14 @@ INTERPRET = False
 CHECK_MASKS = os.environ.get("DMDM_CHECK_MASKS", "0") == "1"
 
 # Measured end-to-end crossover for PLAIN (deterministic, unmasked)
-# inference chains: below this sequence length XLA's bucketed path is at
-# parity or slightly ahead (H=256: 0.97x, round 4; re-measured round 5 —
-# benchmarks/long_horizon_r5.json), above it the kernel wins and the win
-# grows with horizon (1.14x @ 1024 .. 1.26x @ 4096). Training-shaped calls
-# (dropout active or key masks) measured a kernel win at H=96 already
-# (1.047x, benchmarks/localattn_kernel_r4.json), so the "auto" policy in
-# LocalMHA keeps the kernel ON for those regardless of N.
-INFERENCE_MIN_N = 512
+# inference chains (benchmarks/long_horizon_r5.json, DDIM-20 bs 4 bf16 on
+# v5e): 0.92x @ H=128, 0.97x @ 256-512, 1.11x @ 1024, growing to 1.26x @
+# 4096 (round-4 table) — XLA keeps plain chains below 1024, the kernel
+# wins at and above it. Training-shaped calls (dropout active or key
+# masks) measured a kernel win at H=96 already (1.047x,
+# benchmarks/localattn_kernel_r4.json), so the "auto" policy in LocalMHA
+# keeps the kernel ON for those regardless of N.
+INFERENCE_MIN_N = 1024
 
 
 def _assert_prefix_mask(mask, lengths):

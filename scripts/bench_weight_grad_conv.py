@@ -57,19 +57,37 @@ def main():
 
         flop = 2.0 * args.k * B * H * Cin * Cout
         entry = {"rel_err": float(err), "gflop": round(flop / 1e9, 2)}
-        # a ~200 us op: time CALLS calls back-to-back per rep and sync once
-        # with a tiny forced readback (a full 20 MB array transfer through
-        # the tunnel would dominate the timing)
-        CALLS = 50
+        # a ~200 us op: per-call host dispatch through the tunnel is ~650 us
+        # and dominates back-to-back python calls (the first round-5 capture
+        # measured identical "times" for both impls = pure dispatch). Chain
+        # ITERS iterations on-device in ONE program: scan over ITERS
+        # perturbed inputs (distinct operands defeat CSE), accumulate a
+        # scalar from each result, sync once with a scalar readback.
+        ITERS = 20
+        xs = jnp.stack([x + jnp.bfloat16(1e-3 * i) for i in range(ITERS)]) \
+            .astype(dtype)
+
+        def repeat(fn):
+            @jax.jit
+            def run(xs, dy):
+                def body(acc, xi):
+                    return acc + fn(xi, dy)[0, 0, 0], None
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+                return acc
+            return run
+
         for name, fn in (("pallas", pallas_fn), ("xla", xla_fn)):
+            run = repeat(
+                (lambda x_, d_: cw.conv1d_weight_grad(x_, d_, args.k))
+                if name == "pallas"
+                else (lambda x_, d_: cw.conv1d_weight_grad_xla(x_, d_, args.k))
+            )
+            float(run(xs, dy))  # compile + warm
             times = []
             for r in range(7):
                 t0 = time.perf_counter()
-                out = None
-                for _ in range(CALLS):
-                    out = fn(x, dy)
-                np.asarray(out[0, 0, :8])  # forced host readback sync
-                dt = (time.perf_counter() - t0) / CALLS
+                float(run(xs, dy))  # scalar readback = the sync of record
+                dt = (time.perf_counter() - t0) / ITERS
                 if dt > 1e-6:
                     times.append(dt)
             med = sorted(times)[len(times) // 2]

@@ -373,7 +373,8 @@ def test_local_mha_auto_policy_routing(monkeypatch):
         return len(calls)
 
     assert run(128, 0.0, True) == 0          # plain inference below crossover
-    assert run(512, 0.0, True) > 0           # above the crossover
+    assert run(512, 0.0, True) == 0          # still below (0.97x measured)
+    assert run(1024, 0.0, True) > 0          # at/above the crossover
     assert run(128, 0.3, False) > 0          # training-shaped (dropout)
     assert run(128, 0.0, True, use_pallas=True) > 0   # explicit override
-    assert run(512, 0.0, True, use_pallas=False) == 0 # explicit off
+    assert run(1024, 0.0, True, use_pallas=False) == 0 # explicit off
